@@ -1,0 +1,61 @@
+"""Tally arrays.
+
+TPU-native version of the reference's global tally state
+(reference: src/iarray.f90).  Instead of mutable globals with
+``!$omp atomic`` updates, tallies are a pytree threaded through the jitted
+transport loop and updated with scatter-adds; the MPI ``*GLOBAL`` reduction
+twins (iarray.f90:10-18) become a single ``psum`` over the device mesh.
+
+Tallies are f32 like the reference (sp, constants.f90:20).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .grid import CartGrid
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Tallies:
+    jmean: jnp.ndarray  # flattened [nx*ny*nz] path-length fluence
+    absorb: jnp.ndarray  # flattened deposited weight
+    emission: jnp.ndarray  # flattened launch locations
+    nscatt: jnp.ndarray  # scalar: total scatter events
+    # first/second moments of scatter positions by scatter order 1..4
+    # (reference test_kernel, src/kernelsMod.f90:2149-2161)
+    mom_pos: jnp.ndarray  # [4, 3]
+    mom_pos2: jnp.ndarray  # [4, 3]
+
+
+def zero_tallies(grid: CartGrid, dtype=jnp.float32) -> Tallies:
+    n = grid.nxg * grid.nyg * grid.nzg
+    return Tallies(
+        jmean=jnp.zeros((n,), dtype),
+        absorb=jnp.zeros((n,), dtype),
+        emission=jnp.zeros((n,), dtype),
+        nscatt=jnp.zeros((), dtype),
+        mom_pos=jnp.zeros((4, 3), dtype),
+        mom_pos2=jnp.zeros((4, 3), dtype),
+    )
+
+
+def normalise_fluence(grid: CartGrid, array: jnp.ndarray,
+                      nphotons: int) -> jnp.ndarray:
+    """Lucy (1999) fluence normalisation: x V_grid / (N * V_cell)
+    (reference: src/writer.f90:25-52)."""
+    vol = 8.0 * grid.xmax * grid.ymax * grid.zmax
+    vcell = (
+        (2.0 * grid.xmax / grid.nxg)
+        * (2.0 * grid.ymax / grid.nyg)
+        * (2.0 * grid.zmax / grid.nzg)
+    )
+    return array * (vol / (nphotons * vcell))
+
+
+def as_volume(grid: CartGrid, flat: jnp.ndarray) -> jnp.ndarray:
+    return flat.reshape(grid.nxg, grid.nyg, grid.nzg)

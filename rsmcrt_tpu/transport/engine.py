@@ -1,0 +1,407 @@
+"""Wavefront photon transport engine.
+
+This is the TPU-native replacement for the reference's scalar hot loop
+(reference: src/inttau2.f90 ``tauint2`` + src/kernelsMod.f90 ``run_MCRT`` /
+``noBiasPropagation`` / ``survivalBiasPropagation``).
+
+Design
+------
+The reference advances ONE photon at a time through nested, data-dependent
+loops (sphere-trace, voxel DDA, boundary search), parallelised with OpenMP
+threads and ``!$omp atomic`` tallies.  On TPU we invert the structure into a
+*wavefront megakernel*: a large batch of photons (lanes) advances in
+lockstep inside a single ``lax.while_loop``.  Each iteration every lane
+
+1. is respawned from the source if it died and photon budget remains
+   (persistent-thread style, keeps lane occupancy high),
+2. evaluates all scene SDFs (one fused, vmapped kernel),
+3. takes one bounded step: ``min(sphere-trace bound, voxel wall, remaining
+   optical depth)``,
+4. resolves boundary events (eps-nudge / Fresnel reflect / refract /
+   layer crossing -- reference inttau2.f90:73-146, 209-337) as masked lane
+   updates,
+5. deposits path-length fluence with a scatter-add (replacing the voxel DDA
+   + atomics of inttau2.f90:408-445),
+6. tests its segment against all detectors, and
+7. scatters (HG) or terminates when its optical depth is exhausted
+   (reference kernelsMod.f90:1958-1974 / :2036-2066).
+
+All tallies are f32 like the reference (iarray.f90); the whole step is pure
+and differentiable with respect to scene optical parameters.
+
+RNG is counter-based: one ``threefry`` draw of ``[B, 16]`` uniforms per
+megastep keyed by the step index (replacing seed-offset ``random_number``,
+reference random_mod.f90:44-81).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CHANCE, THRESHOLD, TWOPI
+from ..detectors.detectors import DetectorBank, record_hits
+from ..grid import CartGrid, get_voxel, voxel_flat_index, wall_distance
+from ..sdfs.scene import Scene, calc_normals, eval_scene, scene_layer
+from ..sources.sources import Source, sample as sample_source
+from ..tally import Tallies, zero_tallies
+from .fresnel import fresnel_coeff, reflect, refract
+from .scatter import sample_hg_cost, scatter_direction
+
+N_UNIFORMS = 16
+# uniform column assignments per megastep
+_U_SOURCE = slice(0, 8)
+_U_TAU0 = 8
+_U_FRESNEL = 9
+_U_ALBEDO = 10
+_U_HG_COST = 11
+_U_HG_PHI = 12
+_U_TAU = 13
+_U_ROULETTE = 14
+
+
+@dataclass(frozen=True)
+class TransportConfig:
+    """Static transport options (hashable; passed as a jit static arg)."""
+
+    nphotons: int
+    n_lanes: int = 65536
+    survival_bias: bool = False
+    record_emission: bool = False
+    record_moments: bool = False
+    max_bounces: int = 1000
+    max_steps: int = 2_000_000
+    # numerical knobs; reference uses eps=1e-8 in f64 (inttau2.f90:56)
+    eps: float = 1e-5
+    # voxel-wall overshoot as a fraction of voxel size
+    wall_delta_frac: float = 1e-3
+    # kill photons past this scatter order; 0 = off (reference test_kernel
+    # "end_early", kernelsMod.f90:2161-2163)
+    max_scatter_order: int = 0
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LaneState:
+    pos: jnp.ndarray  # [B, 3]
+    dir: jnp.ndarray  # [B, 3]
+    weight: jnp.ndarray  # [B]
+    layer: jnp.ndarray  # [B] int32, 0 = outside
+    tau: jnp.ndarray  # [B] remaining optical depth
+    alive: jnp.ndarray  # [B] bool
+    bounces: jnp.ndarray  # [B] int32
+    steps: jnp.ndarray  # [B] int32 scatter order
+    phase: jnp.ndarray  # [B] accumulated path length (reference packet%phase)
+    wavelength: jnp.ndarray  # [B]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SimCarry:
+    state: LaneState
+    tallies: Tallies
+    bank: object  # DetectorBank | None
+    launched: jnp.ndarray  # int32 scalar
+    step: jnp.ndarray  # int32 scalar
+
+
+def _init_lanes(B: int, dtype) -> LaneState:
+    z3 = jnp.zeros((B, 3), dtype)
+    z = jnp.zeros((B,), dtype)
+    zi = jnp.zeros((B,), jnp.int32)
+    return LaneState(
+        pos=z3,
+        dir=z3.at[:, 2].set(1.0),
+        weight=z,
+        layer=zi,
+        tau=z,
+        alive=jnp.zeros((B,), bool),
+        bounces=zi,
+        steps=zi,
+        phase=z,
+        wavelength=z,
+    )
+
+
+def _take_col(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """a [B, N], idx [B] -> a[b, idx[b]] with idx clipped."""
+    idx = jnp.clip(idx, 0, a.shape[-1] - 1)
+    return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+
+
+def transport_step(carry: SimCarry, scene: Scene, source: Source,
+                   grid: CartGrid, key, cfg: TransportConfig) -> SimCarry:
+    """One megastep of the wavefront.  Pure function of the carry."""
+    st = carry.state
+    tl = carry.tallies
+    dtype = st.pos.dtype
+    B = st.pos.shape[0]
+    tables = scene.tables
+    eps = jnp.asarray(cfg.eps, dtype)
+    delta = (
+        jnp.min(grid.voxel_size) * jnp.asarray(cfg.wall_delta_frac, dtype)
+    )
+
+    skey = jax.random.fold_in(key, carry.step)
+    u = jax.random.uniform(skey, (B, N_UNIFORMS), dtype=dtype,
+                           minval=1e-12, maxval=1.0)
+
+    # --- 1. respawn dead lanes while photon budget remains ---------------
+    dead = jnp.logical_not(st.alive)
+    budget = cfg.nphotons - carry.launched
+    rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+    respawn = jnp.logical_and(dead, rank < budget)
+    n_respawn = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), budget)
+
+    src_pos, src_dir, src_phase, src_wl = sample_source(
+        source, grid, u[:, _U_SOURCE]
+    )
+    r = respawn[:, None]
+    pos = jnp.where(r, src_pos, st.pos)
+    direction = jnp.where(r, src_dir, st.dir)
+    weight = jnp.where(respawn, 1.0, st.weight)
+    tau = jnp.where(respawn, -jnp.log(u[:, _U_TAU0]), st.tau)
+    bounces = jnp.where(respawn, 0, st.bounces)
+    steps = jnp.where(respawn, 0, st.steps)
+    phase = jnp.where(respawn, src_phase, st.phase)
+    wavelength = jnp.where(respawn, src_wl, st.wavelength)
+    alive = jnp.logical_or(st.alive, respawn)
+    launched = carry.launched + n_respawn
+
+    # photons emitted outside the grid die immediately (the reference
+    # re-emits without consuming budget, kernelsMod.f90:1939-1943; for sane
+    # configs sources emit inside so this is equivalent)
+    vox_idx = get_voxel(grid, pos)
+    vox, vox_valid = voxel_flat_index(grid, vox_idx)
+    alive = jnp.logical_and(
+        alive, jnp.logical_or(jnp.logical_not(respawn), vox_valid)
+    )
+
+    emission = tl.emission
+    if cfg.record_emission:
+        emission = emission.at[vox].add(
+            jnp.where(jnp.logical_and(respawn, vox_valid), 1.0, 0.0)
+        )
+
+    # --- 2. evaluate the scene ------------------------------------------
+    ds = eval_scene(scene, pos)  # [B, N]
+    d_sdf = jnp.min(jnp.abs(ds), axis=-1)
+    min_ds = jnp.min(ds, axis=-1)
+    layer = jnp.where(respawn, scene_layer(ds), st.layer)
+    # emitted outside every SDF -> dead (reference kills when outside all,
+    # inttau2.f90:143-145)
+    alive = jnp.logical_and(alive, layer > 0)
+
+    kappa = tables.kappa[layer]
+    tau_dist = jnp.where(kappa > 0.0, tau / jnp.maximum(kappa, 1e-30),
+                         jnp.asarray(jnp.inf, dtype))
+
+    on_boundary = jnp.logical_and(alive, d_sdf < eps)
+    interior = jnp.logical_and(alive, jnp.logical_not(d_sdf < eps))
+    # interior lane outside everything: die without moving (inttau2:188-191)
+    escaped = jnp.logical_and(interior, min_ds > 0.0)
+    interior = jnp.logical_and(interior, jnp.logical_not(escaped))
+
+    # --- 3. boundary analysis (reference inttau2.f90:73-146, 209-337) ----
+    smallstep = d_sdf + 2.0 * eps
+    p2 = pos + smallstep[:, None] * direction
+    ds2 = eval_scene(scene, p2)
+    new_layer = scene_layer(ds2)
+    outside_after = jnp.logical_and(on_boundary, new_layer == 0)
+    same = jnp.logical_and(on_boundary, new_layer == layer)
+    crossing = jnp.logical_and(
+        on_boundary,
+        jnp.logical_and(new_layer != layer, new_layer != 0),
+    )
+
+    n1 = tables.n[layer]
+    n2 = tables.n[new_layer]
+    need_fresnel = jnp.logical_and(crossing, n1 != n2)
+
+    # which prim's surface was crossed (reference inttau2.f90:251-277)
+    ds_new = _take_col(ds, new_layer - 1)
+    ds2_new = _take_col(ds2, new_layer - 1)
+    ds_old = _take_col(ds, layer - 1)
+    ds2_old = _take_col(ds2, layer - 1)
+    entered = jnp.logical_and(ds2_new < 0.0, ds_new >= 0.0)
+    left = jnp.logical_and(ds2_old >= 0.0, ds_old < 0.0)
+    fp_new = jnp.logical_and(ds2_new < 0.0, ds2_old < 0.0)
+    bprim = jnp.where(
+        entered, new_layer,
+        jnp.where(left, layer, jnp.where(fp_new, new_layer, layer)),
+    )
+
+    normals = calc_normals(scene, pos, cfg.eps * 10.0)  # [B, N, 3]
+    nidx = jnp.clip(bprim - 1, 0, scene.n_prims - 1)
+    nvec = jnp.take_along_axis(
+        normals, nidx[:, None, None].repeat(3, axis=2), axis=1
+    )[:, 0, :]
+
+    ri = fresnel_coeff(direction, nvec, n1, n2)
+    reflecting = jnp.logical_and(need_fresnel, u[:, _U_FRESNEL] <= ri)
+    transmitting = jnp.logical_and(
+        crossing, jnp.logical_not(reflecting)
+    )  # includes matched-index crossing and refraction
+
+    dir_reflected = reflect(direction, nvec)
+    dir_refracted = refract(direction, nvec, n1 / n2)
+
+    bounces = bounces + reflecting.astype(jnp.int32)
+    # reference caps reflections at 1000 (inttau2.f90:313-315)
+    overbounced = bounces > cfg.max_bounces
+
+    # --- 4. step length selection ---------------------------------------
+    wall_d = wall_distance(grid, pos, direction) + delta
+    interior_step = jnp.minimum(jnp.minimum(d_sdf, wall_d), tau_dist)
+    same_step = jnp.minimum(smallstep, tau_dist)
+    step_len = jnp.where(
+        interior, interior_step,
+        jnp.where(same, same_step,
+                  jnp.where(transmitting, smallstep, 0.0)),
+    )
+    step_len = jnp.where(alive, step_len, 0.0)
+
+    interact = jnp.logical_or(
+        jnp.logical_and(interior,
+                        tau_dist <= jnp.minimum(d_sdf, wall_d)),
+        jnp.logical_and(same, tau_dist <= smallstep),
+    )
+
+    seg_o = pos
+    seg_dir = direction
+    layer_next = jnp.where(transmitting, new_layer, layer)
+    kappa_step = tables.kappa[layer_next]
+    pos_next = pos + step_len[:, None] * direction
+    tau_next = jnp.maximum(tau - step_len * kappa_step, 0.0)
+    phase = phase + step_len
+
+    # --- 5. fluence deposit (reference update_grids, inttau2.f90:408-445).
+    # Steps are wall-bounded so each deposit lands in one voxel.
+    dep = jnp.where(alive, step_len * weight, 0.0)
+    jmean = tl.jmean.at[vox].add(dep)
+
+    # --- 6. detectors ----------------------------------------------------
+    bank = carry.bank
+    if bank is not None:
+        seg_w = jnp.where(alive, weight, 0.0)
+        bank = record_hits(bank, seg_o, seg_dir, step_len, seg_w)
+
+    # --- 7. direction updates & interactions -----------------------------
+    g = tables.hgg[layer_next]
+    albedo = tables.albedo[layer_next]
+    cost = sample_hg_cost(u[:, _U_HG_COST], g)
+    phi = TWOPI * u[:, _U_HG_PHI]
+    dir_scattered = scatter_direction(direction, cost, phi)
+
+    absorb = tl.absorb
+    nscatt = tl.nscatt
+    if not cfg.survival_bias:
+        # reference noBiasPropagation (kernelsMod.f90:1958-1974)
+        do_scatter = jnp.logical_and(interact, u[:, _U_ALBEDO] < albedo)
+        do_absorb = jnp.logical_and(interact,
+                                    jnp.logical_not(do_scatter))
+        vox_next_idx = get_voxel(grid, pos_next)
+        vox_next, vox_next_valid = voxel_flat_index(grid, vox_next_idx)
+        absorb = absorb.at[vox_next].add(
+            jnp.where(jnp.logical_and(do_absorb, vox_next_valid), 1.0, 0.0)
+        )
+        died_interact = do_absorb
+    else:
+        # reference survivalBiasPropagation (kernelsMod.f90:2036-2066)
+        w_absorbed = jnp.where(interact, weight * (1.0 - albedo), 0.0)
+        weight = weight - w_absorbed
+        vox_next_idx = get_voxel(grid, pos_next)
+        vox_next, vox_next_valid = voxel_flat_index(grid, vox_next_idx)
+        absorb = absorb.at[vox_next].add(
+            jnp.where(vox_next_valid, w_absorbed, 0.0)
+        )
+        roulette = jnp.logical_and(interact, weight < THRESHOLD)
+        survive = jnp.logical_and(roulette, u[:, _U_ROULETTE] < CHANCE)
+        weight = jnp.where(survive, weight / CHANCE, weight)
+        died_interact = jnp.logical_and(roulette,
+                                        jnp.logical_not(survive))
+        do_scatter = jnp.logical_and(interact,
+                                     jnp.logical_not(died_interact))
+        vox_next_valid = vox_next_valid  # reused below
+
+    direction = jnp.where(
+        do_scatter[:, None], dir_scattered,
+        jnp.where(reflecting[:, None], dir_reflected,
+                  jnp.where(jnp.logical_and(transmitting,
+                                            need_fresnel)[:, None],
+                            dir_refracted, direction)),
+    )
+    tau_next = jnp.where(do_scatter, -jnp.log(u[:, _U_TAU]), tau_next)
+    steps = steps + do_scatter.astype(jnp.int32)
+    nscatt = nscatt + jnp.sum(do_scatter.astype(dtype))
+
+    mom_pos = tl.mom_pos
+    mom_pos2 = tl.mom_pos2
+    if cfg.record_moments:
+        # reference test_kernel scatter-order moments
+        # (kernelsMod.f90:2149-2161)
+        order = jnp.where(do_scatter, steps, 0)  # 1..4 of interest
+        onehot = jax.nn.one_hot(order - 1, 4, dtype=dtype)  # -1 -> all zero
+        mom_pos = mom_pos + jnp.einsum("bk,bc->kc", onehot, pos_next)
+        mom_pos2 = mom_pos2 + jnp.einsum("bk,bc->kc", onehot, pos_next**2)
+
+    # --- 8. deaths --------------------------------------------------------
+    vox_next_idx = get_voxel(grid, pos_next)
+    _, in_grid = voxel_flat_index(grid, vox_next_idx)
+    outside_grid = jnp.logical_and(
+        jnp.logical_not(in_grid),
+        jnp.logical_not(jnp.logical_or(reflecting, interact)),
+    )
+    died = escaped | outside_after | died_interact | overbounced | \
+        outside_grid
+    if cfg.max_scatter_order > 0:
+        died = jnp.logical_or(died, steps > cfg.max_scatter_order)
+    alive = jnp.logical_and(alive, jnp.logical_not(died))
+
+    new_state = LaneState(
+        pos=pos_next, dir=direction, weight=weight, layer=layer_next,
+        tau=tau_next, alive=alive, bounces=bounces, steps=steps,
+        phase=phase, wavelength=wavelength,
+    )
+    new_tallies = Tallies(
+        jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,
+        mom_pos=mom_pos, mom_pos2=mom_pos2,
+    )
+    return SimCarry(
+        state=new_state, tallies=new_tallies, bank=bank,
+        launched=launched, step=carry.step + 1,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("bank",))
+def _run(scene, source, grid, key, bank, cfg: TransportConfig):
+    dtype = scene.tables.mus.dtype
+    B = cfg.n_lanes
+    carry0 = SimCarry(
+        state=_init_lanes(B, dtype),
+        tallies=zero_tallies(grid, dtype),
+        bank=bank,
+        launched=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c: SimCarry):
+        more = jnp.logical_or(c.launched < cfg.nphotons,
+                              jnp.any(c.state.alive))
+        return jnp.logical_and(more, c.step < cfg.max_steps)
+
+    def body(c: SimCarry):
+        return transport_step(c, scene, source, grid, key, cfg)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out.tallies, out.bank, out.launched, out.step
+
+
+def simulate(scene: Scene, source: Source, grid: CartGrid, key,
+             cfg: TransportConfig, bank: DetectorBank | None = None):
+    """Run a full forward simulation; returns (tallies, detector bank,
+    photons launched, megasteps executed)."""
+    return _run(scene, source, grid, key, bank, cfg)

@@ -1,0 +1,77 @@
+"""End-to-end physics acceptance tests.
+
+These mirror the reference's primary correctness gates
+(reference: test/end_to_end/test_scat.f90):
+
+1. point source in a tau=10 sphere -> mean scatters/photon ~ 57.5
+   (theory tau^2/2 + tau; reference threshold 0.5 at 1e5 photons, widened
+   here for the smaller CPU-budget photon count)
+2. pencil beam in an infinite medium (mus=10 rescaled by x10), g=0.9 ->
+   scatter-position moments from Table 7 of "Two-step verification method
+   for Monte Carlo codes in biomedical optics applications".
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsmcrt_tpu.grid import cart_grid
+from rsmcrt_tpu.optics.properties import mono
+from rsmcrt_tpu.sdfs import scene as S
+from rsmcrt_tpu.sources.sources import build_source
+from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+
+
+@pytest.mark.slow
+def test_scat_test_nscatt():
+    # reference res/scat_test.toml + setup_scat_test (setupGeometry.f90:409)
+    scene = S.build_scene([
+        S.sphere(1.0, mono(10.0, 0.0, 0.0, 1.0), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    cfg = TransportConfig(nphotons=2000, n_lanes=1024)
+    tallies, _, launched, _ = simulate(scene, src, grid,
+                                       jax.random.key(1234), cfg)
+    nscatt = float(tallies.nscatt) / int(launched)
+    # reference: 57.5 +- 0.5 at 1e5 photons (test_scat.f90:38); at 2e3
+    # photons the standard error is ~1.3 so widen to 4 sigma
+    assert abs(nscatt - 57.5) < 2.5, nscatt
+
+
+@pytest.mark.slow
+def test_scat_test2_moments():
+    # reference res/scat_test2.toml + setup_scat_test2 + test_kernel
+    scene = S.build_scene([
+        S.box([200.0, 200.0, 200.0], mono(10.0, 1e-17, 0.9, 1.0), 2),
+    ])
+    grid = cart_grid(200, 200, 200, 100.0, 100.0, 100.0)
+    src = build_source("pencil", position=[0.0, 0.0, 0.0],
+                       direction=[0.0, 0.0, 1.0])
+    cfg = TransportConfig(nphotons=100000, n_lanes=16384,
+                          record_moments=True, max_scatter_order=4,
+                          max_steps=100000)
+    tallies, _, launched, _ = simulate(scene, src, grid,
+                                       jax.random.key(99), cfg)
+    n = int(launched)
+    m1 = np.asarray(tallies.mom_pos) * 10.0 / n
+    m2 = np.asarray(tallies.mom_pos2) * 100.0 / n
+
+    # values from test_scat.f90:53-63
+    expect_m1 = np.array([
+        [0.0, 0.0, 1.0],
+        [0.0, 0.0, 1.9],
+        [0.0, 0.0, 2.71],
+        [0.0, 0.0, 3.349],
+    ])
+    expect_m2 = np.array([
+        [0.0, 0.0, 2.0],
+        [0.1266666, 0.1266666, 5.5466666],
+        [0.469933, 0.469933, 10.28013],
+        [1.091246, 1.091246, 15.91551],
+    ])
+    assert np.all(np.abs(m1[:, :2] - expect_m1[:, :2]) < 0.1), m1
+    assert np.all(np.abs(m1[:, 2] - expect_m1[:, 2]) < 0.143), m1
+    assert np.all(np.abs(m2 - expect_m2) < 0.15), m2
