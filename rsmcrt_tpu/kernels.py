@@ -1,0 +1,233 @@
+"""Simulation kernels: orchestration of setup -> run -> finalise.
+
+reference: src/kernelsMod.f90 (default_MCRT :14, test_kernel :2069,
+setup :2225, finalise :2321).  The escape-function and inverse kernels live
+in :mod:`rsmcrt_tpu.escape` and :mod:`rsmcrt_tpu.inverse`.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ParsedConfig, parse_params
+from .detectors.detectors import totals as detector_totals
+from .grid import CartGrid
+from .io.writer import (
+    read_checkpoint,
+    write_checkpoint,
+    write_data,
+    write_detected_photons,
+)
+from .render import render_geometry
+from .scenes import setup_simulation
+from .sdfs.scene import Scene, build_scene
+from .tally import as_volume, normalise_fluence
+from .transport.engine import TransportConfig, simulate
+
+
+def default_lanes(nphotons: int) -> int:
+    """Pick a wavefront width: large on TPU, small on CPU test runs."""
+    backend = jax.default_backend()
+    cap = 1 << 17 if backend in ("tpu", "axon") else 1 << 12
+    lanes = 1
+    while lanes * 2 <= min(cap, max(nphotons, 1)):
+        lanes *= 2
+    return max(lanes, 256)
+
+
+@dataclass
+class SimResult:
+    parsed: ParsedConfig
+    scene: Scene
+    tallies: object
+    bank: object
+    launched: int
+    steps: int
+    elapsed: float
+
+    @property
+    def nscatt_per_photon(self):
+        return float(self.tallies.nscatt) / max(self.launched, 1)
+
+    @property
+    def photons_per_second(self):
+        return self.launched / self.elapsed if self.elapsed > 0 else 0.0
+
+
+def setup(input_file: str | Path, kernel: str = "default",
+          res_dir=None) -> tuple[ParsedConfig, Scene]:
+    """Parse config and build the scene
+    (reference: kernelsMod.f90:2225-2319)."""
+    parsed = parse_params(input_file, res_dir=res_dir, kernel=kernel)
+    prims = setup_simulation(
+        parsed.settings.experiment, parsed.geometry,
+        res_dir=Path(res_dir) if res_dir else Path(input_file).parent,
+    )
+    scene = build_scene(prims)
+    return parsed, scene
+
+
+def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
+             n_lanes=None, survival_bias=False, seed=None,
+             record_moments=False, max_scatter_order=0,
+             max_steps=2_000_000) -> SimResult:
+    """Forward simulation (reference: run_MCRT, kernelsMod.f90:1790-1898)."""
+    st = parsed.settings
+    nphotons = int(nphotons if nphotons is not None else st.nphotons)
+    n_lanes = int(n_lanes if n_lanes is not None else
+                  default_lanes(nphotons))
+    cfg = TransportConfig(
+        nphotons=nphotons,
+        n_lanes=n_lanes,
+        survival_bias=survival_bias,
+        record_emission=True,
+        record_moments=record_moments,
+        max_scatter_order=max_scatter_order,
+        max_steps=max_steps,
+    )
+    key = jax.random.key(seed if seed is not None else st.iseed)
+    t0 = time.perf_counter()
+    tallies, bank, launched, steps = simulate(
+        scene, parsed.source, st.grid, key, cfg, bank=parsed.detectors
+    )
+    jax.block_until_ready(tallies.jmean)
+    elapsed = time.perf_counter() - t0
+    return SimResult(
+        parsed=parsed, scene=scene, tallies=tallies, bank=bank,
+        launched=int(launched), steps=int(steps), elapsed=elapsed,
+    )
+
+
+def finalise(result: SimResult, data_dir: str | Path = "data",
+             verbose=True):
+    """Normalise and write outputs
+    (reference: finalise, kernelsMod.f90:2321-2416)."""
+    st = result.parsed.settings
+    grid = st.grid
+    data_dir = Path(data_dir)
+    n = result.launched
+
+    metadata = {
+        "grid_data": "fluence map",
+        "real_size": f"{float(grid.xmax)} {float(grid.ymax)} "
+                     f"{float(grid.zmax)}",
+        "nphotons": n,
+        "source": st.source,
+        "experiment": st.experiment,
+        "units": st.units,
+    }
+
+    jmean = normalise_fluence(grid, as_volume(grid, result.tallies.jmean), n)
+    write_data(np.asarray(jmean), data_dir / "jmean" / st.outfile,
+               overwrite=st.overwrite, metadata=metadata)
+
+    emission = normalise_fluence(
+        grid, as_volume(grid, result.tallies.emission), n
+    )
+    write_data(np.asarray(emission),
+               data_dir / "emission" / st.rendersourcefile,
+               overwrite=st.overwrite, metadata=metadata)
+
+    write_data(np.asarray(as_volume(grid, result.tallies.absorb)),
+               data_dir / "absorb" / "absorb.nrrd",
+               overwrite=st.overwrite, metadata=metadata)
+
+    if result.bank is not None and result.bank.n_detectors > 0:
+        write_detected_photons(result.bank, n, data_dir / "detectors")
+
+    if verbose:
+        print(f"Average # of scatters per photon: "
+              f"{result.nscatt_per_photon:.4f}")
+        print(f"Photons/s: {result.photons_per_second:.4g}")
+    return jmean
+
+
+def default_MCRT(input_file: str | Path, data_dir="data", nphotons=None,
+                 n_lanes=None, survival_bias=False, verbose=True,
+                 res_dir=None) -> SimResult:
+    """The standard forward kernel (reference: kernelsMod.f90:14-82),
+    including checkpoint resume (:52-75)."""
+    parsed, scene = setup(input_file, res_dir=res_dir)
+    st = parsed.settings
+
+    resume_jmean = None
+    if st.loadckpt:
+        toml_name, nrun, resume_jmean = read_checkpoint(
+            st.ckptfile, st.grid.shape
+        )
+        parsed, scene = setup(
+            Path(input_file).parent / toml_name, res_dir=res_dir
+        )
+        st = parsed.settings
+        st.iseed = st.iseed * 101
+        st.nphotons = st.nphotons - nrun
+
+    result = run_MCRT(parsed, scene, nphotons=nphotons, n_lanes=n_lanes,
+                      survival_bias=survival_bias)
+
+    if resume_jmean is not None:
+        import dataclasses
+
+        merged = result.tallies.jmean + jnp.asarray(
+            resume_jmean.reshape(-1), result.tallies.jmean.dtype
+        )
+        result = dataclasses.replace(
+            result, tallies=dataclasses.replace(result.tallies,
+                                                jmean=merged)
+        )
+
+    if st.render_geom:
+        img = render_geometry(
+            scene,
+            [float(st.grid.xmax), float(st.grid.ymax), float(st.grid.zmax)],
+            st.render_size,
+        )
+        write_data(img, Path(data_dir) / st.rendergeomfile,
+                   overwrite=True)
+
+    finalise(result, data_dir=data_dir, verbose=verbose)
+    return result
+
+
+def checkpoint_now(input_file, result: SimResult, data_dir="data"):
+    """Write a reference-format checkpoint
+    (reference: writer.f90:426-457)."""
+    st = result.parsed.settings
+    grid = st.grid
+    return write_checkpoint(
+        str(input_file), st.ckptfile, result.launched,
+        np.asarray(as_volume(grid, result.tallies.jmean)),
+    )
+
+
+def test_kernel(input_file: str | Path, end_early: bool = True,
+                nphotons=None, n_lanes=None, write_files=True,
+                res_dir=None):
+    """Validation kernel recording scatter-order position moments
+    (reference: test_kernel, kernelsMod.f90:2069-2182)."""
+    parsed, scene = setup(input_file, res_dir=res_dir)
+    result = run_MCRT(
+        parsed, scene, nphotons=nphotons, n_lanes=n_lanes,
+        record_moments=True,
+        max_scatter_order=4 if end_early else 0,
+        max_steps=200_000,
+    )
+    n = result.launched
+    m1 = np.asarray(result.tallies.mom_pos) * 10.0 / n
+    m2 = np.asarray(result.tallies.mom_pos2) * 100.0 / n
+    nscatt = result.nscatt_per_photon
+    if write_files:
+        with open("nscatt.dat", "w") as fh:
+            fh.write(f"{nscatt}\n")
+        with open("positions.dat", "w") as fh:
+            for row in m1:
+                fh.write(f"{row[0]} {row[1]} {row[2]}\n")
+            for row in m2:
+                fh.write(f"{row[0]} {row[1]} {row[2]}\n")
+    return dict(nscatt=nscatt, moments1=m1, moments2=m2, result=result)
