@@ -1,0 +1,67 @@
+"""Headline benchmark: photons/s on the sphere scene (single chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no performance numbers (BASELINE.md); the
+north-star target is 1e9 photons/s on a v5e-8 slice, i.e. 1.25e8
+photons/s/chip, which we report against.  Scene: mus=10, mua=0.1, g=0.9,
+n=1.38 sphere of radius 1 in a vacuum bounding box, point source at the
+centre, 200^3 fluence grid (res/sphere.toml).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+PER_CHIP_TARGET = 1e9 / 8.0  # north-star 1e9 photons/s on v5e-8
+
+
+def main():
+    from rsmcrt_tpu.grid import cart_grid
+    from rsmcrt_tpu.optics.properties import mono
+    from rsmcrt_tpu.sdfs import scene as S
+    from rsmcrt_tpu.sources.sources import build_source
+    from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+
+    scene = S.build_scene([
+        S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    lanes = 32768 if on_tpu else 2048
+    nphotons = 200_000 if on_tpu else 4_000
+    cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
+                          dda_substeps=16)
+
+    # warmup/compile with a tiny photon budget (same compiled program:
+    # the budget is a traced scalar)
+    simulate(scene, src, grid, jax.random.key(0), cfg,
+             nphotons=lanes // 4)[0].jmean.block_until_ready()
+
+    t0 = time.perf_counter()
+    tallies, _, launched, steps = simulate(
+        scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons
+    )
+    jax.block_until_ready(tallies.jmean)
+    dt = time.perf_counter() - t0
+
+    value = int(launched) / dt
+    print(json.dumps({
+        "metric": "photons_per_second_sphere_scene_1chip",
+        "value": round(value, 1),
+        "unit": "photons/s",
+        "vs_baseline": round(value / PER_CHIP_TARGET, 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,21 +10,25 @@ The reference advances ONE photon at a time through nested, data-dependent
 loops (sphere-trace, voxel DDA, boundary search), parallelised with OpenMP
 threads and ``!$omp atomic`` tallies.  On TPU we invert the structure into a
 *wavefront megakernel*: a large batch of photons (lanes) advances in
-lockstep inside a single ``lax.while_loop``.  Each iteration every lane
+lockstep inside a single ``lax.while_loop``.  Each iteration has two
+phases, mirroring the reference's split between sphere-trace marching and
+the per-segment voxel DDA (inttau2.f90:155-192 / :408-445):
 
-1. is respawned from the source if it died and photon budget remains
-   (persistent-thread style, keeps lane occupancy high),
-2. evaluates all scene SDFs (one fused, vmapped kernel),
-3. takes one bounded step: ``min(sphere-trace bound, voxel wall, remaining
-   optical depth)``,
-4. resolves boundary events (eps-nudge / Fresnel reflect / refract /
-   layer crossing -- reference inttau2.f90:73-146, 209-337) as masked lane
-   updates,
-5. deposits path-length fluence with a scatter-add (replacing the voxel DDA
-   + atomics of inttau2.f90:408-445),
-6. tests its segment against all detectors, and
-7. scatters (HG) or terminates when its optical depth is exhausted
-   (reference kernelsMod.f90:1958-1974 / :2036-2066).
+1. **Analysis** (lanes starting a new flight segment): respawn dead lanes
+   from the source while photon budget remains; evaluate all scene SDFs
+   (one fused, vmapped kernel); resolve boundary events (eps-nudge /
+   Fresnel reflect / refract / layer crossing -- inttau2.f90:73-146,
+   209-337) as masked lane updates; pick the segment length
+   ``min(sphere-trace bound, remaining optical depth)`` and test the whole
+   segment against every detector (one vectorised hit test per family).
+2. **DDA walk**: every lane walks up to ``dda_substeps`` voxel walls along
+   its segment, accumulating per-voxel path-length deposits which are
+   flushed with a single batched scatter-add (replacing ``!$omp atomic``
+   per voxel).  Segments longer than the walk budget simply continue next
+   megastep without re-running analysis.
+3. **Interaction**: lanes whose optical depth ran out at the segment end
+   scatter (HG) or terminate (analog absorption or survival-bias roulette,
+   kernelsMod.f90:1958-1974 / :2036-2066).
 
 All tallies are f32 like the reference (iarray.f90); the whole step is pure
 and differentiable with respect to scene optical parameters.
@@ -74,6 +78,8 @@ class TransportConfig:
     record_moments: bool = False
     max_bounces: int = 1000
     max_steps: int = 2_000_000
+    # voxel walls walked per megastep before re-running segment analysis
+    dda_substeps: int = 8
     # numerical knobs; reference uses eps=1e-8 in f64 (inttau2.f90:56)
     eps: float = 1e-5
     # voxel-wall overshoot as a fraction of voxel size
@@ -91,6 +97,8 @@ class LaneState:
     weight: jnp.ndarray  # [B]
     layer: jnp.ndarray  # [B] int32, 0 = outside
     tau: jnp.ndarray  # [B] remaining optical depth
+    seg_rem: jnp.ndarray  # [B] geometric length left in current segment
+    seg_interact: jnp.ndarray  # [B] bool: interaction at segment end
     alive: jnp.ndarray  # [B] bool
     bounces: jnp.ndarray  # [B] int32
     steps: jnp.ndarray  # [B] int32 scatter order
@@ -109,20 +117,24 @@ class SimCarry:
 
 
 def _init_lanes(B: int, dtype) -> LaneState:
-    z3 = jnp.zeros((B, 3), dtype)
-    z = jnp.zeros((B,), dtype)
-    zi = jnp.zeros((B,), jnp.int32)
+    # each field gets its own buffer: the carry is donated across chunked
+    # executions and aliased buffers cannot be donated twice
+    z = lambda: jnp.zeros((B,), dtype)
+    zi = lambda: jnp.zeros((B,), jnp.int32)
+    zb = lambda: jnp.zeros((B,), bool)
     return LaneState(
-        pos=z3,
-        dir=z3.at[:, 2].set(1.0),
-        weight=z,
-        layer=zi,
-        tau=z,
-        alive=jnp.zeros((B,), bool),
-        bounces=zi,
-        steps=zi,
-        phase=z,
-        wavelength=z,
+        pos=jnp.zeros((B, 3), dtype),
+        dir=jnp.zeros((B, 3), dtype).at[:, 2].set(1.0),
+        weight=z(),
+        layer=zi(),
+        tau=z(),
+        seg_rem=z(),
+        seg_interact=zb(),
+        alive=zb(),
+        bounces=zi(),
+        steps=zi(),
+        phase=z(),
+        wavelength=z(),
     )
 
 
@@ -133,8 +145,13 @@ def _take_col(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def transport_step(carry: SimCarry, scene: Scene, source: Source,
-                   grid: CartGrid, key, cfg: TransportConfig) -> SimCarry:
-    """One megastep of the wavefront.  Pure function of the carry."""
+                   grid: CartGrid, key, cfg: TransportConfig,
+                   nphotons=None) -> SimCarry:
+    """One megastep of the wavefront.  Pure function of the carry.
+    ``nphotons`` may be a traced scalar (defaults to ``cfg.nphotons``) so
+    one compiled program serves any photon budget."""
+    if nphotons is None:
+        nphotons = cfg.nphotons
     st = carry.state
     tl = carry.tallies
     dtype = st.pos.dtype
@@ -149,9 +166,13 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     u = jax.random.uniform(skey, (B, N_UNIFORMS), dtype=dtype,
                            minval=1e-12, maxval=1.0)
 
-    # --- 1. respawn dead lanes while photon budget remains ---------------
+    # =====================================================================
+    # Phase 1: segment analysis (only lanes with no segment left)
+    # =====================================================================
+
+    # --- respawn dead lanes while photon budget remains ------------------
     dead = jnp.logical_not(st.alive)
-    budget = cfg.nphotons - carry.launched
+    budget = nphotons - carry.launched
     rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
     respawn = jnp.logical_and(dead, rank < budget)
     n_respawn = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), budget)
@@ -168,6 +189,8 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     steps = jnp.where(respawn, 0, st.steps)
     phase = jnp.where(respawn, src_phase, st.phase)
     wavelength = jnp.where(respawn, src_wl, st.wavelength)
+    seg_rem = jnp.where(respawn, 0.0, st.seg_rem)
+    seg_interact = jnp.where(respawn, False, st.seg_interact)
     alive = jnp.logical_or(st.alive, respawn)
     launched = carry.launched + n_respawn
 
@@ -186,26 +209,31 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
             jnp.where(jnp.logical_and(respawn, vox_valid), 1.0, 0.0)
         )
 
-    # --- 2. evaluate the scene ------------------------------------------
+    need_seg = jnp.logical_and(alive, seg_rem <= 0.0)
+
+    # --- evaluate the scene ----------------------------------------------
     ds = eval_scene(scene, pos)  # [B, N]
     d_sdf = jnp.min(jnp.abs(ds), axis=-1)
     min_ds = jnp.min(ds, axis=-1)
     layer = jnp.where(respawn, scene_layer(ds), st.layer)
     # emitted outside every SDF -> dead (reference kills when outside all,
     # inttau2.f90:143-145)
-    alive = jnp.logical_and(alive, layer > 0)
+    alive = jnp.logical_and(
+        alive, jnp.logical_or(jnp.logical_not(respawn), layer > 0)
+    )
+    need_seg = jnp.logical_and(need_seg, alive)
 
     kappa = tables.kappa[layer]
     tau_dist = jnp.where(kappa > 0.0, tau / jnp.maximum(kappa, 1e-30),
                          jnp.asarray(jnp.inf, dtype))
 
-    on_boundary = jnp.logical_and(alive, d_sdf < eps)
-    interior = jnp.logical_and(alive, jnp.logical_not(d_sdf < eps))
-    # interior lane outside everything: die without moving (inttau2:188-191)
+    on_boundary = jnp.logical_and(need_seg, d_sdf < eps)
+    interior = jnp.logical_and(need_seg, d_sdf >= eps)
+    # lane outside everything: die without moving (inttau2:188-191)
     escaped = jnp.logical_and(interior, min_ds > 0.0)
     interior = jnp.logical_and(interior, jnp.logical_not(escaped))
 
-    # --- 3. boundary analysis (reference inttau2.f90:73-146, 209-337) ----
+    # --- boundary analysis (reference inttau2.f90:73-146, 209-337) -------
     smallstep = d_sdf + 2.0 * eps
     p2 = pos + smallstep[:, None] * direction
     ds2 = eval_scene(scene, p2)
@@ -251,50 +279,104 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
 
     bounces = bounces + reflecting.astype(jnp.int32)
     # reference caps reflections at 1000 (inttau2.f90:313-315)
-    overbounced = bounces > cfg.max_bounces
+    overbounced = jnp.logical_and(reflecting, bounces > cfg.max_bounces)
 
-    # --- 4. step length selection ---------------------------------------
-    wall_d = wall_distance(grid, pos, direction) + delta
-    interior_step = jnp.minimum(jnp.minimum(d_sdf, wall_d), tau_dist)
-    same_step = jnp.minimum(smallstep, tau_dist)
-    step_len = jnp.where(
-        interior, interior_step,
-        jnp.where(same, same_step,
+    # --- segment selection -----------------------------------------------
+    interior_len = jnp.minimum(d_sdf, tau_dist)
+    same_len = jnp.minimum(smallstep, tau_dist)
+    seg_new = jnp.where(
+        interior, interior_len,
+        jnp.where(same, same_len,
                   jnp.where(transmitting, smallstep, 0.0)),
     )
-    step_len = jnp.where(alive, step_len, 0.0)
-
-    interact = jnp.logical_or(
-        jnp.logical_and(interior,
-                        tau_dist <= jnp.minimum(d_sdf, wall_d)),
+    interact_new = jnp.logical_or(
+        jnp.logical_and(interior, tau_dist <= d_sdf),
         jnp.logical_and(same, tau_dist <= smallstep),
     )
 
-    seg_o = pos
-    seg_dir = direction
-    layer_next = jnp.where(transmitting, new_layer, layer)
-    kappa_step = tables.kappa[layer_next]
-    pos_next = pos + step_len[:, None] * direction
-    tau_next = jnp.maximum(tau - step_len * kappa_step, 0.0)
-    phase = phase + step_len
+    layer = jnp.where(transmitting, new_layer, layer)
+    kappa_seg = tables.kappa[layer]
+    tau = jnp.where(need_seg,
+                    jnp.maximum(tau - seg_new * kappa_seg, 0.0), tau)
 
-    # --- 5. fluence deposit (reference update_grids, inttau2.f90:408-445).
-    # Steps are wall-bounded so each deposit lands in one voxel.
-    dep = jnp.where(alive, step_len * weight, 0.0)
-    jmean = tl.jmean.at[vox].add(dep)
+    direction = jnp.where(
+        reflecting[:, None], dir_reflected,
+        jnp.where(jnp.logical_and(transmitting, need_fresnel)[:, None],
+                  dir_refracted, direction),
+    )
 
-    # --- 6. detectors ----------------------------------------------------
+    seg_rem = jnp.where(need_seg, seg_new, seg_rem)
+    seg_interact = jnp.where(need_seg, interact_new, seg_interact)
+
+    died_analysis = escaped | outside_after | overbounced
+    alive = jnp.logical_and(alive, jnp.logical_not(died_analysis))
+
+    # --- detectors: one test per whole segment (reference hit protocol,
+    # inttau2.f90:195-200) -------------------------------------------------
     bank = carry.bank
     if bank is not None:
-        seg_w = jnp.where(alive, weight, 0.0)
-        bank = record_hits(bank, seg_o, seg_dir, step_len, seg_w)
+        seg_len_all = jnp.where(jnp.logical_and(alive, need_seg),
+                                seg_rem, 0.0)
+        bank = record_hits(bank, pos, direction, seg_len_all,
+                           jnp.where(alive, weight, 0.0))
 
-    # --- 7. direction updates & interactions -----------------------------
-    g = tables.hgg[layer_next]
-    albedo = tables.albedo[layer_next]
+    # =====================================================================
+    # Phase 2: DDA walk -- up to dda_substeps voxel walls per lane
+    # (reference update_grids, inttau2.f90:408-445); deposits batched into
+    # one scatter-add.
+    # =====================================================================
+    K = cfg.dda_substeps
+    walk_mask0 = jnp.logical_and(alive, seg_rem > 0.0)
+
+    def dda_body(k, val):
+        pos, seg_rem, phase, idxs, deps, alive_w = val
+        active = jnp.logical_and(alive_w, seg_rem > 0.0)
+        vox_idx = get_voxel(grid, pos)
+        vox, valid = voxel_flat_index(grid, vox_idx)
+        # photon wandered off the grid mid-segment -> dies
+        # (reference update_grids tflag, inttau2.f90:437-440)
+        alive_w = jnp.logical_and(alive_w,
+                                  jnp.logical_or(~active, valid))
+        active = jnp.logical_and(active, valid)
+        wall = wall_distance(grid, pos, direction) + delta
+        sub = jnp.minimum(wall, seg_rem)
+        sub = jnp.where(active, sub, 0.0)
+        idxs = idxs.at[k].set(vox)
+        deps = deps.at[k].set(jnp.where(active, sub * weight, 0.0))
+        pos = pos + sub[:, None] * direction
+        seg_rem = jnp.where(active, seg_rem - sub, seg_rem)
+        phase = phase + sub
+        return pos, seg_rem, phase, idxs, deps, alive_w
+
+    # derive the scratch buffers from lane data so they inherit the mesh
+    # "varying" type under shard_map (fresh zeros would not)
+    idxs0 = jnp.broadcast_to(vox * 0, (K, B)).astype(jnp.int32)
+    deps0 = jnp.broadcast_to(weight * 0.0, (K, B))
+    pos, seg_rem, phase, idxs, deps, alive = jax.lax.fori_loop(
+        0, K, dda_body,
+        (pos, seg_rem, phase, idxs0, deps0,
+         jnp.logical_and(alive, True)),
+    )
+    jmean = tl.jmean.at[idxs.reshape(-1)].add(deps.reshape(-1))
+    del walk_mask0
+
+    # =====================================================================
+    # Phase 3: interactions at completed segment ends
+    # =====================================================================
+    seg_done = seg_rem <= 0.0
+    interact = jnp.logical_and(jnp.logical_and(alive, seg_done),
+                               seg_interact)
+    seg_interact = jnp.logical_and(seg_interact,
+                                   jnp.logical_not(seg_done))
+
+    g = tables.hgg[layer]
+    albedo = tables.albedo[layer]
     cost = sample_hg_cost(u[:, _U_HG_COST], g)
     phi = TWOPI * u[:, _U_HG_PHI]
     dir_scattered = scatter_direction(direction, cost, phi)
+
+    vox_idx = get_voxel(grid, pos)
+    vox_now, vox_now_valid = voxel_flat_index(grid, vox_idx)
 
     absorb = tl.absorb
     nscatt = tl.nscatt
@@ -303,20 +385,16 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         do_scatter = jnp.logical_and(interact, u[:, _U_ALBEDO] < albedo)
         do_absorb = jnp.logical_and(interact,
                                     jnp.logical_not(do_scatter))
-        vox_next_idx = get_voxel(grid, pos_next)
-        vox_next, vox_next_valid = voxel_flat_index(grid, vox_next_idx)
-        absorb = absorb.at[vox_next].add(
-            jnp.where(jnp.logical_and(do_absorb, vox_next_valid), 1.0, 0.0)
+        absorb = absorb.at[vox_now].add(
+            jnp.where(jnp.logical_and(do_absorb, vox_now_valid), 1.0, 0.0)
         )
         died_interact = do_absorb
     else:
         # reference survivalBiasPropagation (kernelsMod.f90:2036-2066)
         w_absorbed = jnp.where(interact, weight * (1.0 - albedo), 0.0)
         weight = weight - w_absorbed
-        vox_next_idx = get_voxel(grid, pos_next)
-        vox_next, vox_next_valid = voxel_flat_index(grid, vox_next_idx)
-        absorb = absorb.at[vox_next].add(
-            jnp.where(vox_next_valid, w_absorbed, 0.0)
+        absorb = absorb.at[vox_now].add(
+            jnp.where(vox_now_valid, w_absorbed, 0.0)
         )
         roulette = jnp.logical_and(interact, weight < THRESHOLD)
         survive = jnp.logical_and(roulette, u[:, _U_ROULETTE] < CHANCE)
@@ -325,16 +403,9 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                                         jnp.logical_not(survive))
         do_scatter = jnp.logical_and(interact,
                                      jnp.logical_not(died_interact))
-        vox_next_valid = vox_next_valid  # reused below
 
-    direction = jnp.where(
-        do_scatter[:, None], dir_scattered,
-        jnp.where(reflecting[:, None], dir_reflected,
-                  jnp.where(jnp.logical_and(transmitting,
-                                            need_fresnel)[:, None],
-                            dir_refracted, direction)),
-    )
-    tau_next = jnp.where(do_scatter, -jnp.log(u[:, _U_TAU]), tau_next)
+    direction = jnp.where(do_scatter[:, None], dir_scattered, direction)
+    tau = jnp.where(do_scatter, -jnp.log(u[:, _U_TAU]), tau)
     steps = steps + do_scatter.astype(jnp.int32)
     nscatt = nscatt + jnp.sum(do_scatter.astype(dtype))
 
@@ -345,26 +416,18 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         # (kernelsMod.f90:2149-2161)
         order = jnp.where(do_scatter, steps, 0)  # 1..4 of interest
         onehot = jax.nn.one_hot(order - 1, 4, dtype=dtype)  # -1 -> all zero
-        mom_pos = mom_pos + jnp.einsum("bk,bc->kc", onehot, pos_next)
-        mom_pos2 = mom_pos2 + jnp.einsum("bk,bc->kc", onehot, pos_next**2)
+        mom_pos = mom_pos + jnp.einsum("bk,bc->kc", onehot, pos)
+        mom_pos2 = mom_pos2 + jnp.einsum("bk,bc->kc", onehot, pos**2)
 
-    # --- 8. deaths --------------------------------------------------------
-    vox_next_idx = get_voxel(grid, pos_next)
-    _, in_grid = voxel_flat_index(grid, vox_next_idx)
-    outside_grid = jnp.logical_and(
-        jnp.logical_not(in_grid),
-        jnp.logical_not(jnp.logical_or(reflecting, interact)),
-    )
-    died = escaped | outside_after | died_interact | overbounced | \
-        outside_grid
+    died = died_interact
     if cfg.max_scatter_order > 0:
         died = jnp.logical_or(died, steps > cfg.max_scatter_order)
     alive = jnp.logical_and(alive, jnp.logical_not(died))
 
     new_state = LaneState(
-        pos=pos_next, dir=direction, weight=weight, layer=layer_next,
-        tau=tau_next, alive=alive, bounces=bounces, steps=steps,
-        phase=phase, wavelength=wavelength,
+        pos=pos, dir=direction, weight=weight, layer=layer,
+        tau=tau, seg_rem=seg_rem, seg_interact=seg_interact, alive=alive,
+        bounces=bounces, steps=steps, phase=phase, wavelength=wavelength,
     )
     new_tallies = Tallies(
         jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,
@@ -376,32 +439,66 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("bank",))
-def _run(scene, source, grid, key, bank, cfg: TransportConfig):
-    dtype = scene.tables.mus.dtype
-    B = cfg.n_lanes
-    carry0 = SimCarry(
-        state=_init_lanes(B, dtype),
+def init_carry(grid: CartGrid, cfg: TransportConfig, bank=None,
+               dtype=jnp.float32) -> SimCarry:
+    return SimCarry(
+        state=_init_lanes(cfg.n_lanes, dtype),
         tallies=zero_tallies(grid, dtype),
         bank=bank,
         launched=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),
     )
 
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("carry",))
+def _run_steps(scene, source, grid, key, carry, cfg: TransportConfig,
+               n_steps: int, nphotons=None):
+    """Advance the wavefront a bounded number of megasteps.  A while_loop
+    with early exit runs inside; the host loops over bounded chunks to stay
+    under device-execution watchdogs, report progress, and checkpoint."""
+    if nphotons is None:
+        nphotons = cfg.nphotons
+    nphotons = jnp.asarray(nphotons, jnp.int32)
+
     def cond(c: SimCarry):
-        more = jnp.logical_or(c.launched < cfg.nphotons,
+        more = jnp.logical_or(c.launched < nphotons,
                               jnp.any(c.state.alive))
-        return jnp.logical_and(more, c.step < cfg.max_steps)
+        return jnp.logical_and(
+            jnp.logical_and(more, c.step < cfg.max_steps),
+            c.step < carry.step + n_steps,
+        )
 
     def body(c: SimCarry):
-        return transport_step(c, scene, source, grid, key, cfg)
+        return transport_step(c, scene, source, grid, key, cfg, nphotons)
 
-    out = jax.lax.while_loop(cond, body, carry0)
-    return out.tallies, out.bank, out.launched, out.step
+    return jax.lax.while_loop(cond, body, carry)
 
 
 def simulate(scene: Scene, source: Source, grid: CartGrid, key,
-             cfg: TransportConfig, bank: DetectorBank | None = None):
+             cfg: TransportConfig, bank: DetectorBank | None = None,
+             chunk_steps: int = 512, progress=None, nphotons=None):
     """Run a full forward simulation; returns (tallies, detector bank,
-    photons launched, megasteps executed)."""
-    return _run(scene, source, grid, key, bank, cfg)
+    photons launched, megasteps executed).
+
+    Work is dispatched in ``chunk_steps``-megastep chunks (the reference's
+    analogue is the photon loop with its progress bar and periodic
+    checkpointing, kernelsMod.f90:1856-1888); ``progress`` is an optional
+    callback ``(launched, nphotons, step) -> None`` invoked per chunk."""
+    dtype = scene.tables.mus.dtype
+    n_target = int(cfg.nphotons if nphotons is None else nphotons)
+    carry = init_carry(grid, cfg, bank=bank, dtype=dtype)
+    while True:
+        carry = _run_steps(scene, source, grid, key, carry, cfg,
+                           chunk_steps, n_target)
+        launched = int(carry.launched)
+        step = int(carry.step)
+        if progress is not None:
+            progress(launched, n_target, step)
+        if step >= cfg.max_steps:
+            break
+        if launched >= n_target and not bool(
+            jnp.any(carry.state.alive)
+        ):
+            break
+    return carry.tallies, carry.bank, carry.launched, carry.step

@@ -32,13 +32,13 @@ def test_scat_test_nscatt():
     ])
     grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
     src = build_source("point", position=[0.0, 0.0, 0.0])
-    cfg = TransportConfig(nphotons=2000, n_lanes=1024)
+    cfg = TransportConfig(nphotons=20000, n_lanes=8192)
     tallies, _, launched, _ = simulate(scene, src, grid,
                                        jax.random.key(1234), cfg)
     nscatt = float(tallies.nscatt) / int(launched)
-    # reference: 57.5 +- 0.5 at 1e5 photons (test_scat.f90:38); at 2e3
-    # photons the standard error is ~1.3 so widen to 4 sigma
-    assert abs(nscatt - 57.5) < 2.5, nscatt
+    # reference: 57.5 +- 0.5 at 1e5 photons (test_scat.f90:38); widened for
+    # the smaller CPU photon budget (SE ~ 0.3 at 2e4)
+    assert abs(nscatt - 57.5) < 1.0, nscatt
 
 
 @pytest.mark.slow
