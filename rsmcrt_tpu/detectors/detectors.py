@@ -266,16 +266,24 @@ class DetectorBank:
         return len(self.order)
 
 
-def record_hits(bank: DetectorBank, o, d, seg_len, weight):
+def record_hits(bank: DetectorBank, o, d, seg_len, weight,
+                want_hit_matrix: bool = False):
     """Bin every segment against every detector, returning an updated bank
     (reference: record_hit_1D_sub / record_hit_2D_sub,
-    detector_base.f90:137-163, :206-235)."""
+    detector_base.f90:137-163, :206-235).
+
+    With ``want_hit_matrix`` also returns per-lane hit weights and hit
+    distances ``[B, n_detectors]`` in config order (used by the
+    escape-function kernel to attribute hits to source voxels and by the
+    perturbation-MC gradient estimator)."""
     if bank is None:
-        return bank
+        return (bank, None, None) if want_hit_matrix else bank
     circle = bank.circle
     annulus = bank.annulus
     fibre = bank.fibre
     camera = bank.camera
+    fam_hits = {}
+    fam_ts = {}
 
     def bin_1d(dect, hit, value):
         idx = jnp.minimum(
@@ -296,12 +304,25 @@ def record_hits(bank: DetectorBank, o, d, seg_len, weight):
 
     if circle is not None:
         hit, val = circle.check_hit(o, d, seg_len)
+        fam_hits["circle"] = jnp.where(hit, weight[:, None], 0.0)
+        _, t, _ = intersect_circle(circle.dir, circle.pos, circle.radius,
+                                   o[:, None, :], d[:, None, :])
+        fam_ts["circle"] = jnp.where(hit, t, 0.0)
         circle = _dc.replace(circle, data=bin_1d(circle, hit, val))
     if annulus is not None:
         hit, val = annulus.check_hit(o, d, seg_len)
+        fam_hits["annulus"] = jnp.where(hit, weight[:, None], 0.0)
+        _, t, _ = intersect_circle(annulus.dir, annulus.pos, annulus.r2,
+                                   o[:, None, :], d[:, None, :])
+        fam_ts["annulus"] = jnp.where(hit, t, 0.0)
         annulus = _dc.replace(annulus, data=bin_1d(annulus, hit, val))
     if fibre is not None:
         hit, val = fibre.check_hit(o, d, seg_len)
+        fam_hits["fibre"] = jnp.where(hit, weight[:, None], 0.0)
+        lens_pos = fibre.pos + fibre.dir * fibre.frontOffset[:, None]
+        _, t, _ = intersect_circle(fibre.dir, lens_pos, fibre.f1Aperture,
+                                   o[:, None, :], d[:, None, :])
+        fam_ts["fibre"] = jnp.where(hit, t, 0.0)
         fibre = _dc.replace(fibre, data=bin_1d(fibre, hit, val))
     if camera is not None:
         hit, (hx, hy) = camera.check_hit(o, d, seg_len)
@@ -314,17 +335,26 @@ def record_hits(bank: DetectorBank, o, d, seg_len, weight):
         idx = jnp.where(idx < 1, nb - 1, idx) - 1
         idy = jnp.where(idy < 1, nb - 1, idy) - 1
         w = jnp.where(hit, 1.0, 0.0)  # camera adds 1, not weight
+        fam_hits["camera"] = w
+        fam_ts["camera"] = jnp.where(hit, t, 0.0)
         flat = (jnp.arange(data.shape[0])[None, :] * nb + idx) * nb + idy
         add = jnp.zeros(data.size, data.dtype).at[flat.reshape(-1)].add(
             w.reshape(-1)
         )
         camera = _dc.replace(camera, data=data + add.reshape(data.shape))
 
-    return DetectorBank(
+    new_bank = DetectorBank(
         circle=circle, annulus=annulus, fibre=fibre, camera=camera,
         target_values=bank.target_values, order=bank.order, ids=bank.ids,
         layers=bank.layers,
     )
+    if not want_hit_matrix:
+        return new_bank
+    cols = [fam_hits[fam][:, member] for fam, member in bank.order]
+    tcols = [fam_ts[fam][:, member] for fam, member in bank.order]
+    hitw = jnp.stack(cols, axis=-1) if cols else None
+    hitt = jnp.stack(tcols, axis=-1) if tcols else None
+    return new_bank, hitw, hitt
 
 
 def totals(bank: DetectorBank) -> jnp.ndarray:
@@ -346,9 +376,18 @@ def totals(bank: DetectorBank) -> jnp.ndarray:
 
 
 def zero_detectors(bank: DetectorBank) -> DetectorBank:
-    """reference zero_dect (detector_base.f90:165-173)."""
+    """Zero the accumulated bins only (reference zero_dect,
+    detector_base.f90:165-173); geometry and targets are preserved."""
     if bank is None:
         return None
-    return jax.tree_util.tree_map(
-        lambda x: jnp.zeros_like(x) if x is not None else None, bank
+    import dataclasses as _dc
+
+    def fam(f):
+        if f is None:
+            return None
+        return _dc.replace(f, data=jnp.zeros_like(f.data))
+
+    return _dc.replace(
+        bank, circle=fam(bank.circle), annulus=fam(bank.annulus),
+        fibre=fam(bank.fibre), camera=fam(bank.camera),
     )

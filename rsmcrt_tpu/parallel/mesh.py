@@ -65,7 +65,8 @@ def simulate_sharded(scene, source, grid, key, cfg: TransportConfig,
 
         carry0 = SimCarry(
             state=_init_lanes(dev_cfg.n_lanes, scene.tables.mus.dtype),
-            tallies=zero_tallies(grid, scene.tables.mus.dtype),
+            tallies=zero_tallies(grid, scene.tables.mus.dtype,
+                                 escape_shape=dev_cfg.escape_shape),
             bank=bank,
             launched=jnp.zeros((), jnp.int32),
             step=jnp.zeros((), jnp.int32),

@@ -131,10 +131,11 @@ def build_source(kind: str, spectrum=None, dtype=jnp.float32,
     return Source(kind=kind, params=p, spectrum=spectrum, subtype=subtype)
 
 
-def sample(source: Source, grid: CartGrid, u: jnp.ndarray):
+def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
     """Emit a wavefront.  ``u [B, N_SOURCE_UNIFORMS]`` uniforms in [0,1).
 
-    Returns (pos [B,3], dir [B,3], phase [B], wavelength [B]).
+    Returns (pos [B,3], dir [B,3], phase [B], wavelength [B]).  ``sid`` is
+    the per-lane source-voxel index used by the "escape_points" source.
     """
     kind = source.kind
     p = source.params
@@ -145,7 +146,22 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray):
     wavelength = None
     phase = jnp.zeros((B,), dtype)
 
-    if kind == "point":
+    if kind == "escape_points":
+        # batched isotropic point sources at precomputed voxel centres --
+        # the TPU-native version of the reference escape-function per-voxel
+        # loop (kernelsMod.f90:167-184, :599-607)
+        phi = u[:, 0] * TWOPI
+        cost = 2.0 * u[:, 1] - 1.0
+        sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+        direction = jnp.stack(
+            [sint * jnp.cos(phi), sint * jnp.sin(phi), cost], axis=-1
+        )
+        positions = p["positions"]  # [M, 3]
+        idx = jnp.clip(sid, 0, positions.shape[0] - 1)
+        pos = positions[idx]
+        wavelength = _spectrum_sample(source.spectrum, u[:, 2])
+
+    elif kind == "point":
         # reference: photon.f90:311-359
         phi = u[:, 0] * TWOPI
         cost = 2.0 * u[:, 1] - 1.0

@@ -30,9 +30,14 @@ class Tallies:
     # (reference test_kernel, src/kernelsMod.f90:2149-2161)
     mom_pos: jnp.ndarray  # [4, 3]
     mom_pos2: jnp.ndarray  # [4, 3]
+    # per-source-voxel detector totals for the escape-function kernel
+    # (reference escapeSymmetry, src/kernelsMod.f90:623-640); shape
+    # [n_source_voxels, n_detectors], (0, 0) when unused
+    escape_tot: jnp.ndarray
 
 
-def zero_tallies(grid: CartGrid, dtype=jnp.float32) -> Tallies:
+def zero_tallies(grid: CartGrid, dtype=jnp.float32,
+                 escape_shape=(0, 0)) -> Tallies:
     n = grid.nxg * grid.nyg * grid.nzg
     return Tallies(
         jmean=jnp.zeros((n,), dtype),
@@ -41,6 +46,7 @@ def zero_tallies(grid: CartGrid, dtype=jnp.float32) -> Tallies:
         nscatt=jnp.zeros((), dtype),
         mom_pos=jnp.zeros((4, 3), dtype),
         mom_pos2=jnp.zeros((4, 3), dtype),
+        escape_tot=jnp.zeros(escape_shape, dtype),
     )
 
 

@@ -87,6 +87,19 @@ class TransportConfig:
     # kill photons past this scatter order; 0 = off (reference test_kernel
     # "end_early", kernelsMod.f90:2161-2163)
     max_scatter_order: int = 0
+    # escape-function mode: (n_source_voxels, n_detectors); photons are
+    # attributed round-robin to source voxels and detector hits accumulate
+    # into tallies.escape_tot (batched TPU version of the reference's
+    # per-voxel simulation loop, kernelsMod.f90:533-642)
+    escape_shape: tuple = (0, 0)
+    # perturbation-MC gradient mode: 1-based prim index whose optical
+    # properties are being recovered; per-detected-photon sufficient
+    # statistics (scatter count, path length, HG score in that prim)
+    # accumulate into tallies.escape_tot rows [Sum w, Sum w*cnt,
+    # Sum w*len, Sum w*hg] per detector.  0 = off.  Replaces the
+    # reference's dead AdaLIPO explore/exploit loop
+    # (kernelsMod.f90:1663-1738) with a differentiable estimator.
+    inverse_prim: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +117,10 @@ class LaneState:
     steps: jnp.ndarray  # [B] int32 scatter order
     phase: jnp.ndarray  # [B] accumulated path length (reference packet%phase)
     wavelength: jnp.ndarray  # [B]
+    sid: jnp.ndarray  # [B] int32 source-voxel id (escape-function mode)
+    pmc_cnt: jnp.ndarray  # [B] scatters in the inverse prim
+    pmc_len: jnp.ndarray  # [B] path length in the inverse prim
+    pmc_hg: jnp.ndarray  # [B] sum of d log p_HG / dg in the inverse prim
 
 
 @jax.tree_util.register_dataclass
@@ -135,6 +152,10 @@ def _init_lanes(B: int, dtype) -> LaneState:
         steps=zi(),
         phase=z(),
         wavelength=z(),
+        sid=zi(),
+        pmc_cnt=z(),
+        pmc_len=z(),
+        pmc_hg=z(),
     )
 
 
@@ -177,9 +198,20 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     respawn = jnp.logical_and(dead, rank < budget)
     n_respawn = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), budget)
 
-    src_pos, src_dir, src_phase, src_wl = sample_source(
-        source, grid, u[:, _U_SOURCE]
-    )
+    if cfg.escape_shape[0] > 0 and cfg.inverse_prim == 0:
+        # sid depends on rank below; compute a provisional sid for source
+        # position selection using the same formula
+        per_voxel0 = jnp.maximum(nphotons // cfg.escape_shape[0], 1)
+        rank0 = jnp.cumsum(jnp.logical_not(st.alive).astype(jnp.int32)) - 1
+        sid0 = jnp.clip((carry.launched + rank0) // per_voxel0, 0,
+                        cfg.escape_shape[0] - 1).astype(jnp.int32)
+        src_pos, src_dir, src_phase, src_wl = sample_source(
+            source, grid, u[:, _U_SOURCE], sid=sid0
+        )
+    else:
+        src_pos, src_dir, src_phase, src_wl = sample_source(
+            source, grid, u[:, _U_SOURCE]
+        )
     r = respawn[:, None]
     pos = jnp.where(r, src_pos, st.pos)
     direction = jnp.where(r, src_dir, st.dir)
@@ -193,6 +225,19 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     seg_interact = jnp.where(respawn, False, st.seg_interact)
     alive = jnp.logical_or(st.alive, respawn)
     launched = carry.launched + n_respawn
+
+    pmc_cnt = jnp.where(respawn, 0.0, st.pmc_cnt)
+    pmc_len = jnp.where(respawn, 0.0, st.pmc_len)
+    pmc_hg = jnp.where(respawn, 0.0, st.pmc_hg)
+
+    sid = st.sid
+    n_src = cfg.escape_shape[0] if cfg.inverse_prim == 0 else 0
+    if n_src > 0:
+        # photon index -> source voxel, equal budget per voxel
+        per_voxel = jnp.maximum(nphotons // n_src, 1)
+        photon_idx = carry.launched + rank
+        sid_new = jnp.clip(photon_idx // per_voxel, 0, n_src - 1)
+        sid = jnp.where(respawn, sid_new.astype(jnp.int32), sid)
 
     # photons emitted outside the grid die immediately (the reference
     # re-emits without consuming budget, kernelsMod.f90:1939-1943; for sane
@@ -314,11 +359,50 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # --- detectors: one test per whole segment (reference hit protocol,
     # inttau2.f90:195-200) -------------------------------------------------
     bank = carry.bank
+    escape_tot = tl.escape_tot
+    in_inverse = layer == cfg.inverse_prim
     if bank is not None:
         seg_len_all = jnp.where(jnp.logical_and(alive, need_seg),
                                 seg_rem, 0.0)
-        bank = record_hits(bank, pos, direction, seg_len_all,
-                           jnp.where(alive, weight, 0.0))
+        if cfg.escape_shape[0] > 0 and cfg.inverse_prim == 0:
+            bank, hitw, _ = record_hits(
+                bank, pos, direction, seg_len_all,
+                jnp.where(alive, weight, 0.0), want_hit_matrix=True,
+            )
+            if hitw is not None:
+                ndect = cfg.escape_shape[1]
+                flat = (sid[:, None] * ndect
+                        + jnp.arange(ndect)[None, :])
+                escape_tot = escape_tot.reshape(-1).at[
+                    flat.reshape(-1)
+                ].add(hitw.reshape(-1)).reshape(escape_tot.shape)
+        elif cfg.inverse_prim > 0:
+            bank, hitw, hitt = record_hits(
+                bank, pos, direction, seg_len_all,
+                jnp.where(alive, weight, 0.0), want_hit_matrix=True,
+            )
+            if hitw is not None:
+                # path length in the inverse prim at the hit point
+                len_at_hit = pmc_len[:, None] + jnp.where(
+                    in_inverse[:, None], hitt, 0.0
+                )
+                stats = jnp.stack(
+                    [hitw,
+                     hitw * pmc_cnt[:, None],
+                     hitw * len_at_hit,
+                     hitw * pmc_hg[:, None]], axis=-1,
+                )  # [B, ndect, 4]
+                escape_tot = escape_tot + jnp.sum(stats, axis=0)
+        else:
+            bank = record_hits(bank, pos, direction, seg_len_all,
+                               jnp.where(alive, weight, 0.0))
+    # attribute the new segment's length AFTER hit recording (hits see the
+    # path length up to the hit point only)
+    if cfg.inverse_prim > 0:
+        pmc_len = pmc_len + jnp.where(
+            jnp.logical_and(jnp.logical_and(alive, need_seg), in_inverse),
+            seg_rem, 0.0,
+        )
 
     # =====================================================================
     # Phase 2: DDA walk -- up to dda_substeps voxel walls per lane
@@ -409,6 +493,13 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     steps = steps + do_scatter.astype(jnp.int32)
     nscatt = nscatt + jnp.sum(do_scatter.astype(dtype))
 
+    if cfg.inverse_prim > 0:
+        from .scatter import hg_logpdf_dg
+
+        sc_in = jnp.logical_and(do_scatter, layer == cfg.inverse_prim)
+        pmc_cnt = pmc_cnt + sc_in.astype(dtype)
+        pmc_hg = pmc_hg + jnp.where(sc_in, hg_logpdf_dg(cost, g), 0.0)
+
     mom_pos = tl.mom_pos
     mom_pos2 = tl.mom_pos2
     if cfg.record_moments:
@@ -428,10 +519,11 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         pos=pos, dir=direction, weight=weight, layer=layer,
         tau=tau, seg_rem=seg_rem, seg_interact=seg_interact, alive=alive,
         bounces=bounces, steps=steps, phase=phase, wavelength=wavelength,
+        sid=sid, pmc_cnt=pmc_cnt, pmc_len=pmc_len, pmc_hg=pmc_hg,
     )
     new_tallies = Tallies(
         jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,
-        mom_pos=mom_pos, mom_pos2=mom_pos2,
+        mom_pos=mom_pos, mom_pos2=mom_pos2, escape_tot=escape_tot,
     )
     return SimCarry(
         state=new_state, tallies=new_tallies, bank=bank,
@@ -441,9 +533,13 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
 
 def init_carry(grid: CartGrid, cfg: TransportConfig, bank=None,
                dtype=jnp.float32) -> SimCarry:
+    # the carry is donated across chunked executions -- copy the bank so
+    # the caller's detector arrays survive
+    if bank is not None:
+        bank = jax.tree_util.tree_map(jnp.array, bank)
     return SimCarry(
         state=_init_lanes(cfg.n_lanes, dtype),
-        tallies=zero_tallies(grid, dtype),
+        tallies=zero_tallies(grid, dtype, escape_shape=cfg.escape_shape),
         bank=bank,
         launched=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),
