@@ -336,7 +336,11 @@ def record_hits(bank: DetectorBank, o, d, seg_len, weight,
         idy = jnp.where(idy < 1, nb - 1, idy) - 1
         w = jnp.where(hit, 1.0, 0.0)  # camera adds 1, not weight
         fam_hits["camera"] = w
-        fam_ts["camera"] = jnp.where(hit, t, 0.0)
+        denom_c = _dot(camera.n, d[:, None, :])
+        t_cam = _dot(camera.pos - o[:, None, :], camera.n) / jnp.where(
+            denom_c != 0.0, denom_c, 1.0
+        )
+        fam_ts["camera"] = jnp.where(hit, t_cam, 0.0)
         flat = (jnp.arange(data.shape[0])[None, :] * nb + idx) * nb + idy
         add = jnp.zeros(data.size, data.dtype).at[flat.reshape(-1)].add(
             w.reshape(-1)

@@ -93,18 +93,26 @@ def simulate_sharded(scene, source, grid, key, cfg: TransportConfig,
         )
         bank_out = out.bank
         if bank_out is not None:
-            # reduce only the accumulated bins; static params (positions,
-            # radii, target values) stay replicated
-            def fam(f):
-                if f is None:
+            # psum every leaf (shard_map requires statically-replicated
+            # outputs), then deflate the geometry/target leaves which were
+            # replicated to begin with -- only the accumulated bins are a
+            # genuine sum
+            full = jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, "dp"), bank_out
+            )
+            deflated = jax.tree_util.tree_map(lambda x: x / n_dev, full)
+
+            def fam(df, ff):
+                if df is None:
                     return None
-                return dataclasses.replace(
-                    f, data=jax.lax.psum(f.data, "dp")
-                )
+                return dataclasses.replace(df, data=ff.data)
+
             bank_out = dataclasses.replace(
-                bank_out, circle=fam(bank_out.circle),
-                annulus=fam(bank_out.annulus), fibre=fam(bank_out.fibre),
-                camera=fam(bank_out.camera),
+                deflated,
+                circle=fam(deflated.circle, full.circle),
+                annulus=fam(deflated.annulus, full.annulus),
+                fibre=fam(deflated.fibre, full.fibre),
+                camera=fam(deflated.camera, full.camera),
             )
         launched = jax.lax.psum(out.launched, "dp")
         steps = jax.lax.pmax(out.step, "dp")

@@ -1,0 +1,87 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (the reference has
+no distributed test at all -- its MPI path is untested, SURVEY section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsmcrt_tpu.grid import cart_grid
+from rsmcrt_tpu.optics.properties import mono
+from rsmcrt_tpu.parallel.mesh import make_mesh, simulate_sharded
+from rsmcrt_tpu.sdfs import scene as S
+from rsmcrt_tpu.sources.sources import build_source
+from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+
+
+def _scene():
+    return S.build_scene([
+        S.sphere(1.0, mono(10.0, 0.0, 0.0, 1.0), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+
+
+@pytest.mark.slow
+def test_sharded_physics_matches_single_device():
+    scene = _scene()
+    grid = cart_grid(64, 64, 64, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    cfg = TransportConfig(nphotons=4000, n_lanes=256)
+    tallies, _, launched, _ = simulate_sharded(
+        scene, src, grid, jax.random.key(5), cfg, mesh=mesh
+    )
+    assert int(launched) == 4008 or int(launched) == 4000  # ceil split
+    nscatt_sharded = float(tallies.nscatt) / int(launched)
+
+    cfg1 = TransportConfig(nphotons=4000, n_lanes=2048)
+    t1, _, l1, _ = simulate(scene, src, grid, jax.random.key(5), cfg1)
+    nscatt_single = float(t1.nscatt) / int(l1)
+
+    # statistically identical physics across the mesh (ref gate 57.5+-0.5
+    # at 1e5; SE ~ 0.9 at 4e3 photons)
+    assert abs(nscatt_sharded - 57.5) < 3.0, nscatt_sharded
+    assert abs(nscatt_sharded - nscatt_single) < 4.0
+
+    # fluence mass conserved across psum: totals should agree ~1%
+    j_sh = float(jnp.sum(tallies.jmean)) / int(launched)
+    j_1 = float(jnp.sum(t1.jmean)) / int(l1)
+    assert abs(j_sh - j_1) / j_1 < 0.05
+
+
+def test_detector_psum():
+    scene = _scene()
+    grid = cart_grid(32, 32, 32, 1.0, 1.0, 1.0)
+    src = build_source("pencil", position=[0.0, 0.0, 0.0],
+                       direction=[0.0, 0.0, 1.0])
+    from rsmcrt_tpu.detectors.detectors import (CircleDetectors,
+                                                DetectorBank, totals)
+
+    circle = CircleDetectors(
+        pos=jnp.asarray([[0.0, 0.0, 0.5]]),
+        dir=jnp.asarray([[0.0, 0.0, 1.0]]),
+        radius=jnp.asarray([1.0]),
+        bin_wid=jnp.asarray([0.1]),
+        data=jnp.zeros((1, 11), jnp.float32),
+        nbins=10,
+    )
+    bank = DetectorBank(
+        circle=circle, annulus=None, fibre=None, camera=None,
+        target_values=jnp.asarray([-1.0]), order=(("circle", 0),),
+        ids=("c",), layers=(1,),
+    )
+    mesh = make_mesh()
+    cfg = TransportConfig(nphotons=800, n_lanes=128)
+    tallies, bank_out, launched, _ = simulate_sharded(
+        scene, src, grid, jax.random.key(2), cfg, bank=bank, mesh=mesh
+    )
+    tot = float(totals(bank_out)[0])
+    # detector bins are psum'd once (not 8x): every photon crosses the
+    # plane at least once, scattering can re-cross -> total >= launched,
+    # but far below 8x duplication
+    assert tot >= int(launched) * 0.5
+    assert tot < int(launched) * 3.0
+    # geometry params stay replicated, not summed
+    assert float(bank_out.circle.radius[0]) == 1.0
