@@ -391,7 +391,7 @@ def escape_function(input_file, data_dir="data", n_lanes=None, res_dir=None,
 
     sym, frames, grid_pos, cylindrical = compute_escape_symmetry(
         parsed, scene, n_lanes=n_lanes,
-        progress=(lambda l, n, s: print(f"\r{l}/{n} photons", end=""))
+        progress=(lambda l, n, s, c: print(f"\r{l}/{n} photons", end=""))
         if verbose else None,
     )
     if verbose:

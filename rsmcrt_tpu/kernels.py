@@ -32,9 +32,11 @@ from .transport.engine import TransportConfig, simulate
 
 
 def default_lanes(nphotons: int) -> int:
-    """Pick a wavefront width: large on TPU, small on CPU test runs."""
+    """Pick a wavefront width: large on TPU, small on CPU test runs.
+    32768 lanes measured fastest per photon on v5e (scatter-add linear
+    cost dominates beyond that)."""
     backend = jax.default_backend()
-    cap = 1 << 17 if backend in ("tpu", "axon") else 1 << 12
+    cap = 1 << 15 if backend in ("tpu", "axon") else 1 << 12
     lanes = 1
     while lanes * 2 <= min(cap, max(nphotons, 1)):
         lanes *= 2
@@ -76,12 +78,16 @@ def setup(input_file: str | Path, kernel: str = "default",
 def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
              n_lanes=None, survival_bias=False, seed=None,
              record_moments=False, max_scatter_order=0,
-             max_steps=2_000_000) -> SimResult:
-    """Forward simulation (reference: run_MCRT, kernelsMod.f90:1790-1898)."""
+             max_steps=2_000_000, input_file=None,
+             history=False) -> SimResult:
+    """Forward simulation (reference: run_MCRT, kernelsMod.f90:1790-1898),
+    including the live tev viewer (:1874-1887) and periodic checkpointing
+    (:1863) via the chunked-progress callback."""
     st = parsed.settings
     nphotons = int(nphotons if nphotons is not None else st.nphotons)
     n_lanes = int(n_lanes if n_lanes is not None else
                   default_lanes(nphotons))
+    track_history = history or st.trackHistory
     cfg = TransportConfig(
         nphotons=nphotons,
         n_lanes=n_lanes,
@@ -90,14 +96,45 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
         record_moments=record_moments,
         max_scatter_order=max_scatter_order,
         max_steps=max_steps,
+        history_len=64 if track_history else 0,
+        max_tracks=4096 if track_history else 0,
     )
     key = jax.random.key(seed if seed is not None else st.iseed)
+
+    tev = None
+    if st.tev:
+        from .io.tev import TevIPC
+
+        tev = TevIPC()
+        if tev.connected:
+            tev.close_image(st.experiment)
+            tev.create_image(st.experiment, st.grid.nxg, st.grid.nzg)
+
+    ckpt_state = {"next": st.ckptfreq}
+
+    def progress(launched, n_target, step, carry):
+        if tev is not None and tev.connected:
+            from .io.tev import tev_slices
+
+            vol = np.asarray(as_volume(st.grid, carry.tallies.jmean))
+            tev_slices(tev, st.experiment, vol)
+        if input_file is not None and launched >= ckpt_state["next"]:
+            ckpt_state["next"] = launched + st.ckptfreq
+            write_checkpoint(
+                str(input_file), st.ckptfile, launched,
+                np.asarray(as_volume(st.grid, carry.tallies.jmean)),
+            )
+
+    want_progress = tev is not None or input_file is not None
     t0 = time.perf_counter()
     tallies, bank, launched, steps = simulate(
-        scene, parsed.source, st.grid, key, cfg, bank=parsed.detectors
+        scene, parsed.source, st.grid, key, cfg, bank=parsed.detectors,
+        progress=progress if want_progress else None,
     )
     jax.block_until_ready(tallies.jmean)
     elapsed = time.perf_counter() - t0
+    if tev is not None:
+        tev.close()
     return SimResult(
         parsed=parsed, scene=scene, tallies=tallies, bank=bank,
         launched=int(launched), steps=int(steps), elapsed=elapsed,
@@ -169,7 +206,8 @@ def default_MCRT(input_file: str | Path, data_dir="data", nphotons=None,
         st.nphotons = st.nphotons - nrun
 
     result = run_MCRT(parsed, scene, nphotons=nphotons, n_lanes=n_lanes,
-                      survival_bias=survival_bias)
+                      survival_bias=survival_bias,
+                      input_file=input_file if st.ckptfreq > 0 else None)
 
     if resume_jmean is not None:
         import dataclasses

@@ -34,10 +34,14 @@ class Tallies:
     # (reference escapeSymmetry, src/kernelsMod.f90:623-640); shape
     # [n_source_voxels, n_detectors], (0, 0) when unused
     escape_tot: jnp.ndarray
+    # detected photon path traces [max_tracks, H, 4] + count
+    # (reference historyStack.f90)
+    tracks: jnp.ndarray
+    track_count: jnp.ndarray
 
 
 def zero_tallies(grid: CartGrid, dtype=jnp.float32,
-                 escape_shape=(0, 0)) -> Tallies:
+                 escape_shape=(0, 0), history_shape=(0, 1)) -> Tallies:
     n = grid.nxg * grid.nyg * grid.nzg
     return Tallies(
         jmean=jnp.zeros((n,), dtype),
@@ -47,6 +51,8 @@ def zero_tallies(grid: CartGrid, dtype=jnp.float32,
         mom_pos=jnp.zeros((4, 3), dtype),
         mom_pos2=jnp.zeros((4, 3), dtype),
         escape_tot=jnp.zeros(escape_shape, dtype),
+        tracks=jnp.zeros(history_shape + (4,), dtype),
+        track_count=jnp.zeros((), jnp.int32),
     )
 
 

@@ -79,7 +79,8 @@ class TransportConfig:
     max_bounces: int = 1000
     max_steps: int = 2_000_000
     # voxel walls walked per megastep before re-running segment analysis
-    dda_substeps: int = 8
+    # (16 measured best on v5e for the benchmark scenes)
+    dda_substeps: int = 16
     # numerical knobs; reference uses eps=1e-8 in f64 (inttau2.f90:56)
     eps: float = 1e-5
     # voxel-wall overshoot as a fraction of voxel size
@@ -92,6 +93,13 @@ class TransportConfig:
     # into tallies.escape_tot (batched TPU version of the reference's
     # per-voxel simulation loop, kernelsMod.f90:533-642)
     escape_shape: tuple = (0, 0)
+    # photon path history: ring length per lane (0 = off).  Paths of
+    # detected photons are flushed to tallies.tracks, the TPU version of
+    # the reference's history stack (src/historyStack.f90; the reference
+    # forbids it under OpenMP, parse_detectors.f90:177-182 -- here it is
+    # wavefront-safe but single-device)
+    history_len: int = 0
+    max_tracks: int = 0
     # perturbation-MC gradient mode: 1-based prim index whose optical
     # properties are being recovered; per-detected-photon sufficient
     # statistics (scatter count, path length, HG score in that prim)
@@ -118,6 +126,8 @@ class LaneState:
     phase: jnp.ndarray  # [B] accumulated path length (reference packet%phase)
     wavelength: jnp.ndarray  # [B]
     sid: jnp.ndarray  # [B] int32 source-voxel id (escape-function mode)
+    history: jnp.ndarray  # [B, H, 4] recent event positions + step order
+    hist_n: jnp.ndarray  # [B] int32 events recorded
     pmc_cnt: jnp.ndarray  # [B] scatters in the inverse prim
     pmc_len: jnp.ndarray  # [B] path length in the inverse prim
     pmc_hg: jnp.ndarray  # [B] sum of d log p_HG / dg in the inverse prim
@@ -133,7 +143,7 @@ class SimCarry:
     step: jnp.ndarray  # int32 scalar
 
 
-def _init_lanes(B: int, dtype) -> LaneState:
+def _init_lanes(B: int, dtype, history_len: int = 0) -> LaneState:
     # each field gets its own buffer: the carry is donated across chunked
     # executions and aliased buffers cannot be donated twice
     z = lambda: jnp.zeros((B,), dtype)
@@ -153,10 +163,19 @@ def _init_lanes(B: int, dtype) -> LaneState:
         phase=z(),
         wavelength=z(),
         sid=zi(),
+        history=jnp.zeros((B, max(history_len, 1), 4), dtype),
+        hist_n=zi(),
         pmc_cnt=z(),
         pmc_len=z(),
         pmc_hg=z(),
     )
+
+
+def _ring_write(history, slot, entry, H):
+    """history [B,H,4]; write entry [B,4] at per-lane slot."""
+    onehot = jax.nn.one_hot(slot, H, dtype=history.dtype)  # [B,H]
+    return history * (1.0 - onehot[..., None]) + \
+        onehot[..., None] * entry[:, None, :]
 
 
 def _take_col(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -229,6 +248,23 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     pmc_cnt = jnp.where(respawn, 0.0, st.pmc_cnt)
     pmc_len = jnp.where(respawn, 0.0, st.pmc_len)
     pmc_hg = jnp.where(respawn, 0.0, st.pmc_hg)
+
+    history = st.history
+    hist_n = st.hist_n
+    if cfg.history_len > 0:
+        hist_n = jnp.where(respawn, 0, hist_n)
+        # record the launch position (reference pushes at emission,
+        # kernelsMod.f90:1954)
+        entry = jnp.concatenate(
+            [pos, jnp.zeros((B, 1), dtype)], axis=-1
+        )
+        slot = jnp.clip(hist_n, 0, cfg.history_len - 1)
+        history = jnp.where(
+            respawn[:, None, None],
+            _ring_write(history, slot, entry, cfg.history_len),
+            history,
+        )
+        hist_n = jnp.where(respawn, 1, hist_n)
 
     sid = st.sid
     n_src = cfg.escape_shape[0] if cfg.inverse_prim == 0 else 0
@@ -396,6 +432,30 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         else:
             bank = record_hits(bank, pos, direction, seg_len_all,
                                jnp.where(alive, weight, 0.0))
+    tracks = tl.tracks
+    track_count = tl.track_count
+    if cfg.history_len > 0 and bank is not None and cfg.max_tracks > 0:
+        # flush paths of lanes whose segment hit any detector
+        # (reference history%write on hit, detector_base.f90:158-160)
+        hits_any = jnp.zeros((B,), bool)
+        _, hw, _ = record_hits(
+            carry.bank, pos, direction,
+            jnp.where(jnp.logical_and(alive, need_seg), seg_rem, 0.0),
+            jnp.where(alive, weight, 0.0), want_hit_matrix=True,
+        )
+        if hw is not None:
+            hits_any = jnp.any(hw > 0.0, axis=-1)
+        slot = track_count + jnp.cumsum(hits_any.astype(jnp.int32)) - 1
+        ok = jnp.logical_and(hits_any, slot < cfg.max_tracks)
+        safe_slot = jnp.where(ok, slot, cfg.max_tracks - 1)
+        write_val = jnp.where(ok[:, None, None], history,
+                              tracks[safe_slot])
+        tracks = tracks.at[safe_slot].set(write_val)
+        track_count = jnp.minimum(
+            track_count + jnp.sum(hits_any.astype(jnp.int32)),
+            cfg.max_tracks,
+        )
+
     # attribute the new segment's length AFTER hit recording (hits see the
     # path length up to the hit point only)
     if cfg.inverse_prim > 0:
@@ -500,6 +560,17 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         pmc_cnt = pmc_cnt + sc_in.astype(dtype)
         pmc_hg = pmc_hg + jnp.where(sc_in, hg_logpdf_dg(cost, g), 0.0)
 
+    if cfg.history_len > 0:
+        # push interaction positions (reference pushes per propagation
+        # iteration, kernelsMod.f90:1959)
+        entry = jnp.concatenate(
+            [pos, steps[:, None].astype(dtype)], axis=-1
+        )
+        slot = jnp.mod(hist_n, cfg.history_len)
+        new_hist = _ring_write(history, slot, entry, cfg.history_len)
+        history = jnp.where(interact[:, None, None], new_hist, history)
+        hist_n = jnp.where(interact, hist_n + 1, hist_n)
+
     mom_pos = tl.mom_pos
     mom_pos2 = tl.mom_pos2
     if cfg.record_moments:
@@ -519,11 +590,13 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         pos=pos, dir=direction, weight=weight, layer=layer,
         tau=tau, seg_rem=seg_rem, seg_interact=seg_interact, alive=alive,
         bounces=bounces, steps=steps, phase=phase, wavelength=wavelength,
-        sid=sid, pmc_cnt=pmc_cnt, pmc_len=pmc_len, pmc_hg=pmc_hg,
+        sid=sid, history=history, hist_n=hist_n,
+        pmc_cnt=pmc_cnt, pmc_len=pmc_len, pmc_hg=pmc_hg,
     )
     new_tallies = Tallies(
         jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,
         mom_pos=mom_pos, mom_pos2=mom_pos2, escape_tot=escape_tot,
+        tracks=tracks, track_count=track_count,
     )
     return SimCarry(
         state=new_state, tallies=new_tallies, bank=bank,
@@ -538,8 +611,11 @@ def init_carry(grid: CartGrid, cfg: TransportConfig, bank=None,
     if bank is not None:
         bank = jax.tree_util.tree_map(jnp.array, bank)
     return SimCarry(
-        state=_init_lanes(cfg.n_lanes, dtype),
-        tallies=zero_tallies(grid, dtype, escape_shape=cfg.escape_shape),
+        state=_init_lanes(cfg.n_lanes, dtype,
+                          history_len=cfg.history_len),
+        tallies=zero_tallies(grid, dtype, escape_shape=cfg.escape_shape,
+                             history_shape=(cfg.max_tracks,
+                                            max(cfg.history_len, 1))),
         bank=bank,
         launched=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),
@@ -590,7 +666,7 @@ def simulate(scene: Scene, source: Source, grid: CartGrid, key,
         launched = int(carry.launched)
         step = int(carry.step)
         if progress is not None:
-            progress(launched, n_target, step)
+            progress(launched, n_target, step, carry)
         if step >= cfg.max_steps:
             break
         if launched >= n_target and not bool(
