@@ -1,0 +1,70 @@
+"""Cross-validation: the JAX wavefront engine vs the independent native
+C++ scalar engine on the same physics (fluence distribution + scatter
+statistics must agree)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rsmcrt_tpu import native
+from rsmcrt_tpu.grid import cart_grid
+from rsmcrt_tpu.optics.properties import mono
+from rsmcrt_tpu.sdfs import scene as S
+from rsmcrt_tpu.sources.sources import build_source
+from rsmcrt_tpu.tally import as_volume
+from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+@pytest.mark.slow
+def test_fluence_crossval_sphere():
+    n = 20000
+    grid_n = 32
+
+    # native
+    prims_n = [
+        native.sphere([0, 0, 0], 1.0, 10.0, 0.1, 0.5, 1.0),
+        native.box([0, 0, 0], [2.0, 2.0, 2.0], 0.0, 0.0, 0.0, 1.0),
+    ]
+    j_native, nscatt_native = native.run_native(
+        prims_n, [grid_n] * 3, [1.0] * 3, 0, [0, 0, 0], None, n, seed=5
+    )
+
+    # JAX
+    scene = S.build_scene([
+        S.sphere(1.0, mono(10.0, 0.1, 0.5, 1.0), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(grid_n, grid_n, grid_n, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    cfg = TransportConfig(nphotons=n, n_lanes=4096)
+    tallies, _, launched, _ = simulate(scene, src, grid,
+                                       jax.random.key(5), cfg)
+    j_jax = np.asarray(as_volume(grid, tallies.jmean))
+
+    # scatter statistics agree
+    ns_j = float(tallies.nscatt) / int(launched)
+    ns_n = nscatt_native / n
+    assert abs(ns_j - ns_n) < 1.0, (ns_j, ns_n)
+
+    # total path length per photon agrees to ~1%
+    tj = j_jax.sum() / n
+    tn = j_native.sum() / n
+    assert abs(tj - tn) / tn < 0.02, (tj, tn)
+
+    # radial fluence profiles agree bin-by-bin (statistical)
+    centre = (np.arange(grid_n) + 0.5) / grid_n * 2.0 - 1.0
+    xx, yy, zz = np.meshgrid(centre, centre, centre, indexing="ij")
+    r = np.sqrt(xx**2 + yy**2 + zz**2)
+    bins = np.linspace(0, 1.0, 11)
+    prof_j = np.array([
+        j_jax[(r >= a) & (r < b)].mean() for a, b in zip(bins, bins[1:])
+    ])
+    prof_n = np.array([
+        j_native[(r >= a) & (r < b)].mean() for a, b in zip(bins, bins[1:])
+    ])
+    rel = np.abs(prof_j - prof_n) / np.maximum(prof_n, 1e-9)
+    assert np.all(rel < 0.1), rel
