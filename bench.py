@@ -43,13 +43,15 @@ def main():
                           dda_substeps=16)
 
     # warmup/compile with a tiny photon budget (same compiled program:
-    # the budget is a traced scalar)
+    # the budget is a traced scalar; the tiny run also exercises and
+    # compiles the shrunken tail wavefront sizes)
     simulate(scene, src, grid, jax.random.key(0), cfg,
-             nphotons=lanes // 4)[0].jmean.block_until_ready()
+             nphotons=lanes // 4, min_lanes=512)[0].jmean.block_until_ready()
 
     t0 = time.perf_counter()
     tallies, _, launched, steps = simulate(
-        scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons
+        scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons,
+        min_lanes=512
     )
     jax.block_until_ready(tallies.jmean)
     dt = time.perf_counter() - t0

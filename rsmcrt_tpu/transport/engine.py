@@ -647,21 +647,50 @@ def _run_steps(scene, source, grid, key, carry, cfg: TransportConfig,
     return jax.lax.while_loop(cond, body, carry)
 
 
+def _compact_lanes(carry: SimCarry, new_B: int) -> SimCarry:
+    """Gather the surviving lanes into a smaller wavefront (used once the
+    photon budget is exhausted; the straggler tail then runs at a fraction
+    of the full-batch step cost)."""
+    alive = jnp.asarray(carry.state.alive)
+    # alive lanes first, deterministic order
+    order = jnp.argsort(jnp.logical_not(alive), stable=True)[:new_B]
+
+    def take(x):
+        return x[order]
+
+    state = carry.state
+    new_state = LaneState(
+        **{f.name: take(getattr(state, f.name))
+           for f in __import__("dataclasses").fields(LaneState)}
+    )
+    return SimCarry(
+        state=new_state, tallies=carry.tallies, bank=carry.bank,
+        launched=carry.launched, step=carry.step,
+    )
+
+
 def simulate(scene: Scene, source: Source, grid: CartGrid, key,
              cfg: TransportConfig, bank: DetectorBank | None = None,
-             chunk_steps: int = 512, progress=None, nphotons=None):
+             chunk_steps: int = 512, progress=None, nphotons=None,
+             tail_shrink: bool = True, min_lanes: int = 4096):
     """Run a full forward simulation; returns (tallies, detector bank,
     photons launched, megasteps executed).
 
     Work is dispatched in ``chunk_steps``-megastep chunks (the reference's
     analogue is the photon loop with its progress bar and periodic
     checkpointing, kernelsMod.f90:1856-1888); ``progress`` is an optional
-    callback ``(launched, nphotons, step) -> None`` invoked per chunk."""
+    callback ``(launched, nphotons, step) -> None`` invoked per chunk.
+
+    Once the photon budget is exhausted, surviving straggler lanes are
+    compacted into a wavefront 1/8 the width (``tail_shrink``): the last
+    photons alive otherwise burn full-batch step cost at ~1% occupancy.
+    """
     dtype = scene.tables.mus.dtype
     n_target = int(cfg.nphotons if nphotons is None else nphotons)
+    cur_cfg = cfg
     carry = init_carry(grid, cfg, bank=bank, dtype=dtype)
     while True:
-        carry = _run_steps(scene, source, grid, key, carry, cfg,
+        carry = _run_steps(scene, source, grid, key, carry, cur_cfg,
                            chunk_steps, n_target)
         launched = int(carry.launched)
         step = int(carry.step)
@@ -669,8 +698,19 @@ def simulate(scene: Scene, source: Source, grid: CartGrid, key,
             progress(launched, n_target, step, carry)
         if step >= cfg.max_steps:
             break
-        if launched >= n_target and not bool(
-            jnp.any(carry.state.alive)
-        ):
+        n_alive = int(jnp.sum(carry.state.alive))
+        if launched >= n_target and n_alive == 0:
             break
+        if (
+            tail_shrink
+            and launched >= n_target
+            and cur_cfg.n_lanes > min_lanes
+            and n_alive <= cur_cfg.n_lanes // 8
+        ):
+            # shrink exactly one ladder level per chunk so the set of
+            # compiled batch sizes is deterministic (each level compiles
+            # once; the warmup run walks the same ladder)
+            new_B = max(min_lanes, cur_cfg.n_lanes // 8)
+            carry = _compact_lanes(carry, new_B)
+            cur_cfg = replace(cur_cfg, n_lanes=new_B)
     return carry.tallies, carry.bank, carry.launched, carry.step
