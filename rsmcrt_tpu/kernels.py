@@ -198,9 +198,10 @@ def default_MCRT(input_file: str | Path, data_dir="data", nphotons=None,
         toml_name, nrun, resume_jmean = read_checkpoint(
             st.ckptfile, st.grid.shape
         )
-        parsed, scene = setup(
-            Path(input_file).parent / toml_name, res_dir=res_dir
-        )
+        ckpt_toml = Path(toml_name)
+        if not ckpt_toml.exists():
+            ckpt_toml = Path(input_file).parent / toml_name
+        parsed, scene = setup(ckpt_toml, res_dir=res_dir)
         st = parsed.settings
         st.iseed = st.iseed * 101
         st.nphotons = st.nphotons - nrun
