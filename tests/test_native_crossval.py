@@ -68,3 +68,40 @@ def test_fluence_crossval_sphere():
     ])
     rel = np.abs(prof_j - prof_n) / np.maximum(prof_n, 1e-9)
     assert np.all(rel < 0.1), rel
+
+
+@pytest.mark.slow
+def test_fluence_crossval_fresnel_sphere():
+    """Cross-validation with an index-mismatched sphere: the Fresnel
+    reflect/refract/TIR path must agree with the native implementation."""
+    n = 15000
+    grid_n = 24
+
+    prims_n = [
+        native.sphere([0, 0, 0], 1.0, 10.0, 0.1, 0.9, 1.38),
+        native.box([0, 0, 0], [2.0, 2.0, 2.0], 0.0, 0.0, 0.0, 1.0),
+    ]
+    j_native, nscatt_native = native.run_native(
+        prims_n, [grid_n] * 3, [1.0] * 3, 0, [0, 0, 0], None, n, seed=9
+    )
+
+    scene = S.build_scene([
+        S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(grid_n, grid_n, grid_n, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    cfg = TransportConfig(nphotons=n, n_lanes=4096)
+    tallies, _, launched, _ = simulate(scene, src, grid,
+                                       jax.random.key(9), cfg)
+    j_jax = np.asarray(as_volume(grid, tallies.jmean))
+
+    ns_j = float(tallies.nscatt) / int(launched)
+    ns_n = nscatt_native / n
+    # TIR trapping raises scatter counts well above the index-matched
+    # case; both engines must see the same enhancement
+    assert abs(ns_j - ns_n) / ns_n < 0.05, (ns_j, ns_n)
+
+    tj = j_jax.sum() / n
+    tn = j_native.sum() / n
+    assert abs(tj - tn) / tn < 0.03, (tj, tn)
