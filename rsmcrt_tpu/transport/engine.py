@@ -79,8 +79,8 @@ class TransportConfig:
     max_bounces: int = 1000
     max_steps: int = 2_000_000
     # voxel walls walked per megastep before re-running segment analysis
-    # (16 measured best on v5e for the benchmark scenes)
-    dda_substeps: int = 16
+    # (12 measured best on v5e for the benchmark scenes)
+    dda_substeps: int = 12
     # numerical knobs; reference uses eps=1e-8 in f64 (inttau2.f90:56)
     eps: float = 1e-5
     # voxel-wall overshoot as a fraction of voxel size
