@@ -134,7 +134,10 @@ def compute_escape_symmetry(parsed, scene, n_lanes=None, seed=None,
     # zero their efficiencies to match the reference exactly
     ds = eval_scene(scene, world)
     lyr = scene_layer(ds)
-    kappa = scene.tables.kappa[lyr]
+    kappa_tab = scene.tables.kappa
+    if scene.tables.wavelengths is not None:
+        kappa_tab = kappa_tab[0]  # any bin: only the ==0 test matters
+    kappa = kappa_tab[lyr]
     valid = np.asarray(jnp.logical_and(lyr > 0, kappa != 0.0))
 
     source = Source(kind="escape_points",

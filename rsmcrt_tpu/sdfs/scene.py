@@ -354,12 +354,19 @@ def _collect_params(spec: PrimSpec) -> dict:
 @jax.tree_util.register_dataclass
 @dataclass
 class SceneTables:
-    """Per-layer optical property table, index 0 = outside (sentinel)."""
+    """Per-layer optical property table, index 0 = outside (sentinel).
+
+    Monochromatic scenes: 1D arrays ``[N+1]``.  Spectral scenes: 2D arrays
+    ``[W, N+1]`` binned over ``wavelengths [W]`` -- transport then looks
+    properties up per photon wavelength, which the reference only
+    half-implements (its spectral type exists but transport never
+    resamples, src/opticalProps/piecewise.f90:13 note)."""
 
     mus: jnp.ndarray
     mua: jnp.ndarray
     hgg: jnp.ndarray
     n: jnp.ndarray
+    wavelengths: object = None  # jnp [W] | None for monochromatic
 
     @property
     def kappa(self):
@@ -392,8 +399,13 @@ class Scene:
     n_prims: int = field(metadata=dict(static=True))
 
 
-def build_scene(prims: Sequence[PrimSpec], dtype=jnp.float32) -> Scene:
-    """Group prims by structural signature and stack their parameters."""
+def build_scene(prims: Sequence[PrimSpec], dtype=jnp.float32,
+                n_wavelength_bins: int = 64) -> Scene:
+    """Group prims by structural signature and stack their parameters.
+
+    If any prim carries :class:`SpectralOptProps`, the optical table is
+    built per wavelength bin over the union of the spectral table ranges
+    and transport performs per-photon wavelength lookups."""
     groups: dict = {}
     order: list = []
     for i, pr in enumerate(prims):
@@ -424,18 +436,58 @@ def build_scene(prims: Sequence[PrimSpec], dtype=jnp.float32) -> Scene:
     for col, user_idx in enumerate(concat_order):
         perm[user_idx] = col
 
-    def opt_field(name, sentinel):
-        vals = [sentinel] + [
-            float(np.asarray(getattr(pr.opt, name))) for pr in prims
-        ]
-        return jnp.asarray(vals, dtype)
+    from ..optics.properties import SpectralOptProps
 
-    tables = SceneTables(
-        mus=opt_field("mus", 0.0),
-        mua=opt_field("mua", 0.0),
-        hgg=opt_field("hgg", 0.0),
-        n=opt_field("n", 1.0),
-    )
+    spectral = any(isinstance(pr.opt, SpectralOptProps) for pr in prims)
+    if not spectral:
+        def opt_field(name, sentinel):
+            vals = [sentinel] + [
+                float(np.asarray(getattr(pr.opt, name))) for pr in prims
+            ]
+            return jnp.asarray(vals, dtype)
+
+        tables = SceneTables(
+            mus=opt_field("mus", 0.0),
+            mua=opt_field("mua", 0.0),
+            hgg=opt_field("hgg", 0.0),
+            n=opt_field("n", 1.0),
+        )
+    else:
+        # wavelength grid spanning all spectral tables
+        los, his = [], []
+        for pr in prims:
+            if isinstance(pr.opt, SpectralOptProps):
+                for tab in (pr.opt.mus_tab, pr.opt.mua_tab,
+                            pr.opt.hgg_tab, pr.opt.n_tab):
+                    los.append(float(tab.x[0]))
+                    his.append(float(tab.x[-1]))
+        wgrid = jnp.linspace(min(los), max(his), n_wavelength_bins,
+                             dtype=dtype)
+
+        def opt_field(name, sentinel):
+            cols = [jnp.full_like(wgrid, sentinel)]
+            for pr in prims:
+                if isinstance(pr.opt, SpectralOptProps):
+                    from ..optics.piecewise import sample_piecewise1d_at
+
+                    tab = getattr(pr.opt, name + "_tab")
+                    cols.append(sample_piecewise1d_at(tab, wgrid))
+                else:
+                    cols.append(
+                        jnp.full_like(
+                            wgrid,
+                            float(np.asarray(getattr(pr.opt, name))),
+                        )
+                    )
+            return jnp.stack(cols, axis=-1)  # [W, N+1]
+
+        tables = SceneTables(
+            mus=opt_field("mus", 0.0),
+            mua=opt_field("mua", 0.0),
+            hgg=opt_field("hgg", 0.0),
+            n=opt_field("n", 1.0),
+            wavelengths=wgrid,
+        )
 
     return Scene(
         group_params=group_params,

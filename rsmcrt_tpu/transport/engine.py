@@ -184,6 +184,20 @@ def _take_col(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
 
 
+def _opt_lookup(tables, arr, layer, wavelength):
+    """Per-lane optical property lookup: 1D ``arr[N+1]`` for mono scenes,
+    2D ``arr[W, N+1]`` binned by photon wavelength for spectral scenes
+    (per-photon spectral transport; the reference never couples its
+    spectral type into transport, piecewise.f90:13 note)."""
+    if tables.wavelengths is None:
+        return arr[layer]
+    W = tables.wavelengths.shape[0]
+    wbin = jnp.clip(
+        jnp.searchsorted(tables.wavelengths, wavelength) - 1, 0, W - 1
+    )
+    return arr[wbin, layer]
+
+
 def transport_step(carry: SimCarry, scene: Scene, source: Source,
                    grid: CartGrid, key, cfg: TransportConfig,
                    nphotons=None) -> SimCarry:
@@ -304,7 +318,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     )
     need_seg = jnp.logical_and(need_seg, alive)
 
-    kappa = tables.kappa[layer]
+    kappa = _opt_lookup(tables, tables.kappa, layer, wavelength)
     tau_dist = jnp.where(kappa > 0.0, tau / jnp.maximum(kappa, 1e-30),
                          jnp.asarray(jnp.inf, dtype))
 
@@ -326,8 +340,8 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         jnp.logical_and(new_layer != layer, new_layer != 0),
     )
 
-    n1 = tables.n[layer]
-    n2 = tables.n[new_layer]
+    n1 = _opt_lookup(tables, tables.n, layer, wavelength)
+    n2 = _opt_lookup(tables, tables.n, new_layer, wavelength)
     need_fresnel = jnp.logical_and(crossing, n1 != n2)
 
     # which prim's surface was crossed (reference inttau2.f90:251-277)
@@ -376,7 +390,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     )
 
     layer = jnp.where(transmitting, new_layer, layer)
-    kappa_seg = tables.kappa[layer]
+    kappa_seg = _opt_lookup(tables, tables.kappa, layer, wavelength)
     tau = jnp.where(need_seg,
                     jnp.maximum(tau - seg_new * kappa_seg, 0.0), tau)
 
@@ -513,8 +527,8 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     seg_interact = jnp.logical_and(seg_interact,
                                    jnp.logical_not(seg_done))
 
-    g = tables.hgg[layer]
-    albedo = tables.albedo[layer]
+    g = _opt_lookup(tables, tables.hgg, layer, wavelength)
+    albedo = _opt_lookup(tables, tables.albedo, layer, wavelength)
     cost = sample_hg_cost(u[:, _U_HG_COST], g)
     phi = TWOPI * u[:, _U_HG_PHI]
     dir_scattered = scatter_direction(direction, cost, phi)

@@ -1,0 +1,68 @@
+"""Per-photon spectral transport tests (beyond the reference: its spectral
+optical properties never feed back into transport,
+src/opticalProps/piecewise.f90:13 note)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsmcrt_tpu.grid import cart_grid
+from rsmcrt_tpu.optics.piecewise import piecewise1d
+from rsmcrt_tpu.optics.properties import SpectralOptProps, mono
+from rsmcrt_tpu.sdfs import scene as S
+from rsmcrt_tpu.sources.sources import build_source
+from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+
+
+def _spectral_opt(mus_lo, mus_hi):
+    wl = np.array([400.0, 700.0])
+    tab = lambda lo, hi: piecewise1d(np.stack([wl, [lo, hi]], axis=1))
+    return SpectralOptProps(
+        mus_tab=tab(mus_lo, mus_hi),
+        mua_tab=tab(0.0, 0.0),
+        hgg_tab=tab(0.0, 0.0),
+        n_tab=tab(1.0, 1.0),
+        flux=tab(1.0, 1.0),
+    )
+
+
+def test_spectral_tables_built():
+    opt = _spectral_opt(2.0, 20.0)
+    sc = S.build_scene([
+        S.sphere(1.0, opt, 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    t = sc.tables
+    assert t.wavelengths is not None
+    assert t.mus.ndim == 2
+    # sphere column interpolates between 2 and 20 across the band
+    assert np.isclose(float(t.mus[0, 1]), 2.0, atol=0.3)
+    assert np.isclose(float(t.mus[-1, 1]), 20.0, atol=0.3)
+    # mono bbox column is constant zero
+    assert np.allclose(np.asarray(t.mus[:, 2]), 0.0)
+
+
+@pytest.mark.slow
+def test_spectral_transport_scatter_counts():
+    """Photons at the red end (mus 20) must scatter ~10x more than at the
+    blue end (mus 2): run two narrow-band sources and compare."""
+    from rsmcrt_tpu.optics.piecewise import Constant
+
+    opt = _spectral_opt(2.0, 20.0)
+    sc = S.build_scene([
+        S.sphere(1.0, opt, 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(32, 32, 32, 1.0, 1.0, 1.0)
+    cfg = TransportConfig(nphotons=3000, n_lanes=1024)
+
+    out = {}
+    for name, wl in (("blue", 401.0), ("red", 699.0)):
+        src = build_source("point", position=[0.0, 0.0, 0.0],
+                          spectrum=Constant(jnp.asarray(wl)))
+        t, _, launched, _ = simulate(sc, src, grid, jax.random.key(3), cfg)
+        out[name] = float(t.nscatt) / int(launched)
+    # tau=2 sphere: ~ tau^2/2 + tau = 4; tau=20: ~ 220
+    assert out["blue"] < 8.0
+    assert out["red"] > 100.0
