@@ -38,11 +38,19 @@ class Tallies:
     # (reference historyStack.f90)
     tracks: jnp.ndarray
     track_count: jnp.ndarray
+    # complex field accumulation (real, imag) for diffraction sources.
+    # The reference allocates its phasor array but never accumulates it
+    # (update_grids' phase code is commented out, inttau2.f90:389-434);
+    # here exp(i 2 pi / lambda * path) is deposited when enabled.
+    phasor_re: jnp.ndarray
+    phasor_im: jnp.ndarray
 
 
 def zero_tallies(grid: CartGrid, dtype=jnp.float32,
-                 escape_shape=(0, 0), history_shape=(0, 1)) -> Tallies:
+                 escape_shape=(0, 0), history_shape=(0, 1),
+                 phasor: bool = False) -> Tallies:
     n = grid.nxg * grid.nyg * grid.nzg
+    np_ = n if phasor else 0
     return Tallies(
         jmean=jnp.zeros((n,), dtype),
         absorb=jnp.zeros((n,), dtype),
@@ -53,6 +61,8 @@ def zero_tallies(grid: CartGrid, dtype=jnp.float32,
         escape_tot=jnp.zeros(escape_shape, dtype),
         tracks=jnp.zeros(history_shape + (4,), dtype),
         track_count=jnp.zeros((), jnp.int32),
+        phasor_re=jnp.zeros((np_,), dtype),
+        phasor_im=jnp.zeros((np_,), dtype),
     )
 
 

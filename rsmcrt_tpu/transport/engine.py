@@ -100,6 +100,10 @@ class TransportConfig:
     # wavefront-safe but single-device)
     history_len: int = 0
     max_tracks: int = 0
+    # accumulate the complex field exp(i k (phase + path)) at interaction
+    # sites (for the dslit / aperture diffraction sources; completes the
+    # reference's dead phasor array, iarray.f90:14)
+    record_phasor: bool = False
     # perturbation-MC gradient mode: 1-based prim index whose optical
     # properties are being recovered; per-detected-photon sufficient
     # statistics (scatter count, path length, HG score in that prim)
@@ -585,6 +589,17 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         history = jnp.where(interact[:, None, None], new_hist, history)
         hist_n = jnp.where(interact, hist_n + 1, hist_n)
 
+    phasor_re = tl.phasor_re
+    phasor_im = tl.phasor_im
+    if cfg.record_phasor:
+        # k = 2 pi / lambda (reference packet%fact, photon.f90:35-36);
+        # phase carries source offset + accumulated path
+        k = jnp.asarray(TWOPI, dtype) / jnp.maximum(wavelength, 1e-12)
+        arg = k * phase
+        w_ph = jnp.where(interact, weight, 0.0)
+        phasor_re = phasor_re.at[vox_now].add(w_ph * jnp.cos(arg))
+        phasor_im = phasor_im.at[vox_now].add(w_ph * jnp.sin(arg))
+
     mom_pos = tl.mom_pos
     mom_pos2 = tl.mom_pos2
     if cfg.record_moments:
@@ -611,6 +626,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,
         mom_pos=mom_pos, mom_pos2=mom_pos2, escape_tot=escape_tot,
         tracks=tracks, track_count=track_count,
+        phasor_re=phasor_re, phasor_im=phasor_im,
     )
     return SimCarry(
         state=new_state, tallies=new_tallies, bank=bank,
@@ -629,7 +645,8 @@ def init_carry(grid: CartGrid, cfg: TransportConfig, bank=None,
                           history_len=cfg.history_len),
         tallies=zero_tallies(grid, dtype, escape_shape=cfg.escape_shape,
                              history_shape=(cfg.max_tracks,
-                                            max(cfg.history_len, 1))),
+                                            max(cfg.history_len, 1)),
+                             phasor=cfg.record_phasor),
         bank=bank,
         launched=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),
