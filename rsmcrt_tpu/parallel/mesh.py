@@ -31,8 +31,8 @@ try:  # moved out of experimental in newer jax
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..transport.engine import TransportConfig, _init_lanes, SimCarry, \
-    transport_step
+from ..transport.engine import (TransportConfig, _init_lanes, SimCarry,
+                                _run_steps, init_carry, transport_step)
 from ..tally import zero_tallies
 
 
@@ -119,3 +119,83 @@ def simulate_sharded(scene, source, grid, key, cfg: TransportConfig,
         return tallies, bank_out, launched, steps
 
     return jax.jit(worker)(scene, source, grid, key, bank)
+
+
+def simulate_sharded_chunked(scene, source, grid, key, cfg: TransportConfig,
+                             bank=None, mesh: Mesh | None = None,
+                             chunk_steps: int = 512, progress=None):
+    """Chunked multi-device simulation: per-device carries ride a leading
+    mesh axis (sharded with ``P('dp')``), a vmapped bounded-step chunk runs
+    on every device, and the host loops until all devices finish -- the
+    multi-chip version of the chunked single-device driver (long single
+    executions trip device watchdogs).  Tallies/bins are summed across
+    devices at the end (the reference's mpi_reduce moment,
+    kernelsMod.f90:2351-2357)."""
+    from jax.sharding import NamedSharding
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+    n_dev = int(np.prod(mesh.devices.shape))
+    per_dev = math.ceil(cfg.nphotons / n_dev)
+    dev_cfg = replace(cfg, nphotons=per_dev)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(n_dev)
+    )
+    carry_single = init_carry(grid, dev_cfg, bank=bank,
+                              dtype=scene.tables.mus.dtype)
+    carry = jax.tree_util.tree_map(
+        lambda x: jnp.array(
+            jnp.broadcast_to(x[None], (n_dev,) + x.shape)
+        ),
+        carry_single,
+    )
+    shard = NamedSharding(mesh, P("dp"))
+    carry = jax.device_put(carry, shard)
+    keys = jax.device_put(keys, shard)
+
+    @partial(jax.jit, static_argnames=("n_steps",),
+             donate_argnames=("carry",))
+    def chunk(keys, carry, n_steps):
+        return jax.vmap(
+            lambda k, c: _run_steps(scene, source, grid, k, c, dev_cfg,
+                                    n_steps, per_dev)
+        )(keys, carry)
+
+    while True:
+        carry = chunk(keys, carry, chunk_steps)
+        launched = np.asarray(carry.launched)
+        steps = np.asarray(carry.step)
+        if progress is not None:
+            progress(int(launched.sum()), cfg.nphotons, int(steps.max()),
+                     carry)
+        done = np.all(launched >= per_dev)
+        if done and not bool(jnp.any(carry.state.alive)):
+            break
+        if int(steps.max()) >= cfg.max_steps:
+            break
+
+    tallies = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0),
+                                     carry.tallies)
+    bank_out = carry.bank
+    if bank_out is not None:
+        def fam(f):
+            if f is None:
+                return None
+            return dataclasses.replace(
+                f,
+                **{name: (jnp.sum(getattr(f, name), axis=0)
+                          if name == "data"
+                          else getattr(f, name)[0])
+                   for name in [fl.name for fl in
+                                dataclasses.fields(type(f))
+                                if not fl.metadata.get("static")]},
+            )
+        bank_out = dataclasses.replace(
+            bank_out,
+            circle=fam(bank_out.circle), annulus=fam(bank_out.annulus),
+            fibre=fam(bank_out.fibre), camera=fam(bank_out.camera),
+            target_values=bank_out.target_values[0],
+        )
+    return (tallies, bank_out, jnp.sum(carry.launched),
+            jnp.max(carry.step))

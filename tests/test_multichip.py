@@ -85,3 +85,22 @@ def test_detector_psum():
     assert tot < int(launched) * 3.0
     # geometry params stay replicated, not summed
     assert float(bank_out.circle.radius[0]) == 1.0
+
+
+@pytest.mark.slow
+def test_chunked_sharded_simulation():
+    """Chunked multi-device driver: same physics, host-loop chunks, final
+    cross-device reduction."""
+    from rsmcrt_tpu.parallel.mesh import simulate_sharded_chunked
+
+    scene = _scene()
+    grid = cart_grid(64, 64, 64, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    cfg = TransportConfig(nphotons=2400, n_lanes=256)
+    tallies, bank, launched, steps = simulate_sharded_chunked(
+        scene, src, grid, jax.random.key(7), cfg, mesh=make_mesh(),
+        chunk_steps=200,
+    )
+    assert int(launched) == 2400
+    nscatt = float(tallies.nscatt) / int(launched)
+    assert abs(nscatt - 57.5) < 3.0, nscatt
