@@ -40,7 +40,7 @@ def main():
     lanes = 32768 if on_tpu else 2048
     nphotons = 200_000 if on_tpu else 4_000
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=12)
+                          dda_substeps=8)
 
     # warmup/compile with a tiny photon budget (same compiled program:
     # the budget is a traced scalar; the tiny run also exercises and

@@ -149,6 +149,9 @@ def compute_escape_symmetry(parsed, scene, n_lanes=None, seed=None,
         nphotons=total_photons,
         n_lanes=lanes,
         escape_shape=(M, ndect),
+        # escape functions only need detector totals, not the fluence map
+        # -- whole-segment jumps, no deposit scatters
+        record_fluence=False,
     )
     key = jax.random.key(seed if seed is not None else st.iseed)
     tallies, bank_out, launched, steps = simulate(

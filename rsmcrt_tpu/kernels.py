@@ -79,7 +79,7 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
              n_lanes=None, survival_bias=False, seed=None,
              record_moments=False, max_scatter_order=0,
              max_steps=2_000_000, input_file=None,
-             history=False) -> SimResult:
+             history=False, record_fluence=True) -> SimResult:
     """Forward simulation (reference: run_MCRT, kernelsMod.f90:1790-1898),
     including the live tev viewer (:1874-1887) and periodic checkpointing
     (:1863) via the chunked-progress callback."""
@@ -92,6 +92,7 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
         nphotons=nphotons,
         n_lanes=n_lanes,
         survival_bias=survival_bias,
+        record_fluence=record_fluence,
         record_emission=True,
         record_moments=record_moments,
         max_scatter_order=max_scatter_order,

@@ -74,13 +74,18 @@ class TransportConfig:
     nphotons: int
     n_lanes: int = 65536
     survival_bias: bool = False
+    # path-length fluence estimator on/off (the reference's compile-time
+    # `pathlength` flag, src/inttau2.f90:408).  Off: segments advance in a
+    # single jump with no per-voxel deposits -- much faster for
+    # detector-only workloads (escape functions, slab validation).
+    record_fluence: bool = True
     record_emission: bool = False
     record_moments: bool = False
     max_bounces: int = 1000
     max_steps: int = 2_000_000
-    # voxel walls walked per megastep before re-running segment analysis
-    # (12 measured best on v5e for the benchmark scenes)
-    dda_substeps: int = 12
+    # voxel-wall intervals deposited per megastep before re-running
+    # segment analysis (8 measured best on v5e with the closed-form DDA)
+    dda_substeps: int = 8
     # numerical knobs; reference uses eps=1e-8 in f64 (inttau2.f90:56)
     eps: float = 1e-5
     # voxel-wall overshoot as a fraction of voxel size
@@ -490,36 +495,74 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     K = cfg.dda_substeps
     walk_mask0 = jnp.logical_and(alive, seg_rem > 0.0)
 
-    def dda_body(k, val):
-        pos, seg_rem, phase, idxs, deps, alive_w = val
-        active = jnp.logical_and(alive_w, seg_rem > 0.0)
-        vox_idx = get_voxel(grid, pos)
-        vox, valid = voxel_flat_index(grid, vox_idx)
-        # photon wandered off the grid mid-segment -> dies
-        # (reference update_grids tflag, inttau2.f90:437-440)
-        alive_w = jnp.logical_and(alive_w,
-                                  jnp.logical_or(~active, valid))
-        active = jnp.logical_and(active, valid)
-        wall = wall_distance(grid, pos, direction) + delta
-        sub = jnp.minimum(wall, seg_rem)
-        sub = jnp.where(active, sub, 0.0)
-        idxs = idxs.at[k].set(vox)
-        deps = deps.at[k].set(jnp.where(active, sub * weight, 0.0))
-        pos = pos + sub[:, None] * direction
-        seg_rem = jnp.where(active, seg_rem - sub, seg_rem)
-        phase = phase + sub
-        return pos, seg_rem, phase, idxs, deps, alive_w
+    if not cfg.record_fluence:
+        # reference without -Dpathlength: no fluence deposits; jump the
+        # whole segment at once (inttau2.f90:446-462 "move the packet
+        # through the grid without pathlength")
+        active = walk_mask0
+        jump = jnp.where(active, seg_rem, 0.0)
+        pos = pos + jump[:, None] * direction
+        phase = phase + jump
+        seg_rem = jnp.where(active, 0.0, seg_rem)
+        vox_idx_end = get_voxel(grid, pos)
+        _, valid_end = voxel_flat_index(grid, vox_idx_end)
+        alive = jnp.logical_and(
+            alive, jnp.logical_or(jnp.logical_not(active), valid_end)
+        )
+        jmean = tl.jmean
 
-    # derive the scratch buffers from lane data so they inherit the mesh
-    # "varying" type under shard_map (fresh zeros would not)
-    idxs0 = jnp.broadcast_to(vox * 0, (K, B)).astype(jnp.int32)
-    deps0 = jnp.broadcast_to(weight * 0.0, (K, B))
-    pos, seg_rem, phase, idxs, deps, alive = jax.lax.fori_loop(
-        0, K, dda_body,
-        (pos, seg_rem, phase, idxs0, deps0,
-         jnp.logical_and(alive, True)),
-    )
-    jmean = tl.jmean.at[idxs.reshape(-1)].add(deps.reshape(-1))
+    if cfg.record_fluence:
+        # Closed-form DDA: the voxel-wall crossings of a straight segment
+        # are three arithmetic sequences (one per axis).  Generate the
+        # first K candidates per axis, merge with one small sort, and turn
+        # the K leading intervals into midpoint-attributed deposits -- a
+        # fully vectorised replacement for the reference's sequential
+        # voxel walk (inttau2.f90:417-441), flushed with one scatter-add.
+        half = grid.half_extent
+        dv = grid.voxel_size
+        pc = pos + half  # corner-origin coordinates
+        cell = jnp.floor(pc / dv)
+        safe_d = jnp.where(direction == 0.0, 1.0, direction)
+        t_up = ((cell + 1.0) * dv - pc) / safe_d
+        t_dn = (cell * dv - pc) / safe_d
+        big = jnp.asarray(3.4e38, dtype)
+        t0_ax = jnp.where(direction > 0.0, t_up,
+                          jnp.where(direction < 0.0, t_dn, big))
+        t0_ax = jnp.maximum(t0_ax, 0.0)  # on-wall round-off
+        dt_ax = jnp.where(direction == 0.0, big,
+                          dv / jnp.abs(safe_d))
+        j = jnp.arange(K, dtype=dtype)
+        cand = t0_ax[:, :, None] + dt_ax[:, :, None] * j  # [B, 3, K]
+        cand = jnp.minimum(cand, big).reshape(B, 3 * K)
+        walk = jnp.where(jnp.logical_and(alive, seg_rem > 0.0),
+                         seg_rem, 0.0)
+        cand = jnp.where(cand < walk[:, None], cand, big)
+        cuts = jnp.sort(cand, axis=-1)[:, :K]  # [B, K]
+        # interval boundaries: 0, cuts_1..K-1, end
+        end = jnp.minimum(jnp.where(cuts[:, K - 1] < big,
+                                    cuts[:, K - 1], walk), walk)
+        lo = jnp.concatenate([jnp.zeros((B, 1), dtype), cuts[:, :K - 1]],
+                             axis=1)
+        hi = jnp.minimum(jnp.where(cuts < big, cuts, walk[:, None]),
+                         walk[:, None])
+        hi = hi.at[:, K - 1].set(end)
+        lengths = jnp.maximum(hi - lo, 0.0)
+        mids = pos[:, None, :] + direction[:, None, :] * \
+            (0.5 * (lo + hi))[..., None]  # [B, K, 3]
+        vox_k = get_voxel(grid, mids)  # [B, K, 3]
+        flat_k, valid_k = voxel_flat_index(grid, vox_k)  # [B, K]
+        deps_k = jnp.where(valid_k, lengths * weight[:, None], 0.0)
+        jmean = tl.jmean.at[flat_k.reshape(-1)].add(deps_k.reshape(-1))
+        # photon exits the grid mid-segment -> dies at the boundary
+        # (reference update_grids tflag, inttau2.f90:437-440)
+        exited = jnp.any(
+            jnp.logical_and(jnp.logical_not(valid_k), lengths > 0.0),
+            axis=-1,
+        )
+        alive = jnp.logical_and(alive, jnp.logical_not(exited))
+        pos = pos + end[:, None] * direction
+        phase = phase + end
+        seg_rem = jnp.maximum(seg_rem - end, 0.0)
     del walk_mask0
 
     # =====================================================================

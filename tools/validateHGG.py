@@ -22,7 +22,10 @@ def main(nphotons=200_000, cpu=False):
 
     parsed, scene = setup(Path(__file__).parents[1] / "res" /
                           "validation1.toml")
-    result = run_MCRT(parsed, scene, nphotons=nphotons)
+    # detector totals only: skip the per-voxel fluence estimator
+    # (the reference's pathlength flag off)
+    result = run_MCRT(parsed, scene, nphotons=nphotons,
+                      record_fluence=False)
     tot = np.asarray(totals(result.bank)) / result.launched
     rd, td = float(tot[0]), float(tot[1])
     print(f"Theoretical total diffuse reflectance : 0.09739")
