@@ -28,15 +28,28 @@ def identity(dtype=jnp.float32) -> jnp.ndarray:
 def apply_transform(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """``[p, 1] @ m`` restricted to the first three output components.
 
-    ``p`` may be batched ``[..., 3]``; ``m`` is ``[4, 4]``.
+    ``p`` may be batched ``[..., 3]``; ``m`` is ``[4, 4]``.  Expanded
+    elementwise rather than ``p @ m``: XLA lowers tiny f32 matmuls to the
+    MXU at bf16 precision by default on TPU, a ~3e-3 relative geometry
+    error on every SDF evaluation; the expansion stays on the VPU in
+    full f32.
     """
-    out = p @ m[:3, :3] + m[3, :3]
-    return out
+    return (
+        p[..., 0:1] * m[0, :3]
+        + p[..., 1:2] * m[1, :3]
+        + p[..., 2:3] * m[2, :3]
+        + m[3, :3]
+    )
 
 
 def apply_rotation(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Rotate a direction (no translation part)."""
-    return v @ m[:3, :3]
+    """Rotate a direction (no translation part; same VPU expansion as
+    :func:`apply_transform`)."""
+    return (
+        v[..., 0:1] * m[0, :3]
+        + v[..., 1:2] * m[1, :3]
+        + v[..., 2:3] * m[2, :3]
+    )
 
 
 def translate(o) -> jnp.ndarray:

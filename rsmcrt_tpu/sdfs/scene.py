@@ -542,6 +542,10 @@ def calc_normals(scene: Scene, pos: jnp.ndarray, h: float) -> jnp.ndarray:
     # [..., 4, 3] evaluation points
     pts = pos[..., None, :] + offs * h
     ds = eval_scene(scene, pts)  # [..., 4, N]
-    n = jnp.einsum("...kn,kc->...nc", ds, offs)
+    # explicit sum instead of einsum: XLA lowers tiny f32 einsums to the
+    # MXU at bf16 precision on TPU, which corrupts Fresnel normals
+    n = sum(
+        ds[..., k, :, None] * offs[k] for k in range(4)
+    )  # [..., N, 3]
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     return n / jnp.where(norm > 0.0, norm, 1.0)

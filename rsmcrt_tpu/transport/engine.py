@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from ..constants import CHANCE, THRESHOLD, TWOPI
 from ..detectors.detectors import DetectorBank, record_hits
 from ..grid import CartGrid, get_voxel, voxel_flat_index, wall_distance
+from ..sdfs import raycast
 from ..sdfs.scene import Scene, calc_normals, eval_scene, scene_layer
 from ..sources.sources import Source, sample as sample_source
 from ..tally import Tallies, zero_tallies
@@ -86,6 +87,11 @@ class TransportConfig:
     # voxel-wall intervals deposited per megastep before re-running
     # segment analysis (8 measured best on v5e with the closed-form DDA)
     dda_substeps: int = 8
+    # sphere-trace iterations folded into one megastep (the reference's
+    # inner march loop, inttau2.f90:155-192).  Each costs one batched
+    # eval_scene; without it a photon creeping toward an SDF surface pays
+    # a full megastep per trace step.
+    march_iters: int = 6
     # numerical knobs; reference uses eps=1e-8 in f64 (inttau2.f90:56)
     eps: float = 1e-5
     # voxel-wall overshoot as a fraction of voxel size
@@ -386,7 +392,70 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     overbounced = jnp.logical_and(reflecting, bounces > cfg.max_bounces)
 
     # --- segment selection -----------------------------------------------
-    interior_len = jnp.minimum(d_sdf, tau_dist)
+    # The segment of an interior lane ends at min(optical-depth distance,
+    # next surface along the ray).  The surface distance comes from the
+    # analytic raycast where the prims have closed forms (no sphere-trace
+    # creep: grazing rays that never cross jump the whole tau segment) and
+    # from a capped sphere-trace march (the reference's inner loop,
+    # inttau2.f90:155-192) for the rest.  Direction and layer are constant
+    # until the segment ends, so the merged path is one straight segment:
+    # detector tests and the tau deduction below see it whole, like the
+    # reference's per-tauint2-call protocol (inttau2.f90:195-200).
+    ana_mask = raycast.analytic_column_mask(scene)  # static
+    land_eps = 0.5 * eps
+    # photons that outlive this never re-enter the grid: they died at the
+    # grid wall during the DDA (update_grids tflag, inttau2.f90:437-440)
+    seg_cap = 8.0 * jnp.sqrt(
+        grid.xmax**2 + grid.ymax**2 + grid.zmax**2
+    ) + 1.0
+    if any(ana_mask):
+        t_ana = raycast.ray_bound(scene, pos, direction)
+        avail = jnp.where(jnp.isfinite(t_ana), t_ana - land_eps, jnp.inf)
+    else:
+        avail = jnp.full((B,), jnp.inf, dtype)
+    if all(ana_mask):
+        interior_len = jnp.minimum(jnp.minimum(tau_dist, avail), seg_cap)
+        interior_interact = jnp.logical_and(
+            tau_dist <= avail, jnp.isfinite(tau_dist)
+        )
+    elif cfg.march_iters > 0:
+        na_cols = jnp.asarray(
+            [i for i, a in enumerate(ana_mask) if not a], jnp.int32
+        )
+
+        def d_na_at(ds_all):
+            return jnp.min(jnp.abs(ds_all[:, na_cols]), axis=-1)
+
+        def mbody(_, c):
+            s, d_cur, moving, hit = c
+            hit_tau = jnp.logical_and(moving, s + d_cur >= tau_dist)
+            s = jnp.where(hit_tau, tau_dist,
+                          jnp.where(moving, s + d_cur, s))
+            hit = jnp.logical_or(hit, hit_tau)
+            moving = jnp.logical_and(moving, jnp.logical_not(hit_tau))
+            p = pos + s[:, None] * direction
+            dm = jnp.minimum(d_na_at(eval_scene(scene, p)), avail - s)
+            d_cur = jnp.where(moving, dm, d_cur)
+            moving = jnp.logical_and(moving, d_cur >= eps)
+            return s, d_cur, moving, hit
+
+        d0 = jnp.minimum(d_na_at(ds), avail)
+        s, d_last, moving, hit = jax.lax.fori_loop(
+            0, cfg.march_iters, mbody,
+            (jnp.zeros_like(d_sdf), d0, interior,
+             jnp.zeros_like(interior)),
+        )
+        # final check + partial step without an extra eval: the next
+        # analysis megastep re-evaluates at the advanced position anyway
+        hit_tau = jnp.logical_and(moving, s + d_last >= tau_dist)
+        hit = jnp.logical_or(hit, hit_tau)
+        s = jnp.where(hit_tau, tau_dist, jnp.where(moving, s + d_last, s))
+        interior_len = jnp.minimum(s, seg_cap)
+        interior_interact = hit
+    else:
+        bound = jnp.minimum(d_sdf, avail)
+        interior_len = jnp.minimum(bound, tau_dist)
+        interior_interact = tau_dist <= bound
     same_len = jnp.minimum(smallstep, tau_dist)
     seg_new = jnp.where(
         interior, interior_len,
@@ -394,7 +463,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                   jnp.where(transmitting, smallstep, 0.0)),
     )
     interact_new = jnp.logical_or(
-        jnp.logical_and(interior, tau_dist <= d_sdf),
+        jnp.logical_and(interior, interior_interact),
         jnp.logical_and(same, tau_dist <= smallstep),
     )
 

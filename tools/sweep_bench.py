@@ -1,0 +1,55 @@
+"""Sweep march_iters x dda_substeps on the bench sphere scene (TPU)."""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+
+
+def run_one(M, K, B, nphotons):
+    from rsmcrt_tpu.grid import cart_grid
+    from rsmcrt_tpu.optics.properties import mono
+    from rsmcrt_tpu.sdfs import scene as S
+    from rsmcrt_tpu.sources.sources import build_source
+    from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+
+    scene = S.build_scene([
+        S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    cfg = TransportConfig(nphotons=nphotons, n_lanes=B, dda_substeps=K,
+                          march_iters=M)
+    # warmup with small chunks so the shrink ladder is walked and every
+    # batch size compiles before the timed run
+    simulate(scene, src, grid, jax.random.key(0), cfg,
+             nphotons=B // 4, min_lanes=512,
+             chunk_steps=16)[0].jmean.block_until_ready()
+    t0 = time.perf_counter()
+    tallies, _, launched, steps = simulate(
+        scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons,
+        min_lanes=512, chunk_steps=96)
+    jax.block_until_ready(tallies.jmean)
+    dt = time.perf_counter() - t0
+    return int(launched) / dt, int(steps)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-B", type=int, default=32768)
+    p.add_argument("-n", type=int, default=200_000)
+    p.add_argument("--grid", type=str,
+                   default="4:8,6:8,6:16,8:16,8:24,12:16")
+    args = p.parse_args()
+    for mk in args.grid.split(","):
+        M, K = (int(x) for x in mk.split(":"))
+        pps, steps = run_one(M, K, args.B, args.n)
+        print(f"M={M:3d} K={K:3d}  {pps/1e3:8.1f}k ph/s  steps={steps}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Phase-resolved bench: time in full-width phase vs straggler tail."""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def run_one(M, K, B, nphotons, chunk=128):
+    from rsmcrt_tpu.grid import cart_grid
+    from rsmcrt_tpu.optics.properties import mono
+    from rsmcrt_tpu.sdfs import scene as S
+    from rsmcrt_tpu.sources.sources import build_source
+    from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+
+    scene = S.build_scene([
+        S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    cfg = TransportConfig(nphotons=nphotons, n_lanes=B, dda_substeps=K,
+                          march_iters=M)
+    simulate(scene, src, grid, jax.random.key(0), cfg,
+             nphotons=B // 4, min_lanes=512,
+             chunk_steps=chunk)[0].jmean.block_until_ready()
+
+    events = []
+    t0 = time.perf_counter()
+
+    def prog(launched, target, step, carry):
+        n_alive = int(jnp.sum(carry.state.alive))
+        events.append((time.perf_counter() - t0, launched, step, n_alive,
+                       carry.state.alive.shape[0]))
+
+    tallies, _, launched, steps = simulate(
+        scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons,
+        min_lanes=512, chunk_steps=chunk, progress=prog)
+    jax.block_until_ready(tallies.jmean)
+    dt = time.perf_counter() - t0
+
+    # phase split: first event where launched >= target
+    t_full = next((t for t, l, s, a, b in events if l >= nphotons), dt)
+    s_full = next((s for t, l, s, a, b in events if l >= nphotons), steps)
+    print(f"M={M} K={K} B={B} n={nphotons}: total {dt:.2f}s "
+          f"({int(launched)/dt/1e3:.1f}k ph/s) | full-width {t_full:.2f}s "
+          f"{s_full} steps | tail {dt-t_full:.2f}s {int(steps)-s_full} steps")
+    for t, l, s, a, b in events:
+        print(f"  t={t:7.2f}s launched={l:8d} step={s:6d} alive={a:6d} B={b}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-B", type=int, default=32768)
+    p.add_argument("-n", type=int, default=200_000)
+    p.add_argument("-M", type=int, default=4)
+    p.add_argument("-K", type=int, default=8)
+    args = p.parse_args()
+    run_one(args.M, args.K, args.B, args.n)
+
+
+if __name__ == "__main__":
+    main()
