@@ -33,6 +33,26 @@ from ..optics.piecewise import (
 
 N_SOURCE_UNIFORMS = 8
 
+# uniforms actually consumed per source kind (static; lets the transport
+# engine draw exactly what the megastep needs -- RNG generation is a fixed
+# per-step cost proportional to the column count)
+SOURCE_UNIFORM_COUNT = {
+    "escape_points": 3,
+    "point": 3,
+    "pencil": 1,
+    "uniform": 3,
+    "circular": 3,
+    "focus": 3,
+    "annulus": 5,
+    "dslit": 6,
+    "aperture": 5,
+    "slm": 3,
+}
+
+
+def n_source_uniforms(source: "Source") -> int:
+    return SOURCE_UNIFORM_COUNT.get(source.kind, N_SOURCE_UNIFORMS)
+
 
 @jax.tree_util.register_dataclass
 @dataclass

@@ -44,6 +44,11 @@ class Tallies:
     # here exp(i 2 pi / lambda * path) is deposited when enabled.
     phasor_re: jnp.ndarray
     phasor_im: jnp.ndarray
+    # performance counters [n_deposits, n_alive_steps, n_need_seg_steps,
+    # n_interactions] summed over megasteps (the reference's analogue is
+    # the per-photon SDF-eval/bounce counters, photon.f90:48) -- cheap
+    # scalar reductions used to diagnose wavefront slot utilisation
+    perf: jnp.ndarray = None
 
 
 def zero_tallies(grid: CartGrid, dtype=jnp.float32,
@@ -63,6 +68,7 @@ def zero_tallies(grid: CartGrid, dtype=jnp.float32,
         track_count=jnp.zeros((), jnp.int32),
         phasor_re=jnp.zeros((np_,), dtype),
         phasor_im=jnp.zeros((np_,), dtype),
+        perf=jnp.zeros((4,), dtype),
     )
 
 

@@ -50,22 +50,24 @@ from ..constants import CHANCE, THRESHOLD, TWOPI
 from ..detectors.detectors import DetectorBank, record_hits
 from ..grid import CartGrid, get_voxel, voxel_flat_index, wall_distance
 from ..sdfs import raycast
-from ..sdfs.scene import Scene, calc_normals, eval_scene, scene_layer
-from ..sources.sources import Source, sample as sample_source
+from ..sdfs.scene import Scene, eval_scene, scene_layer
+from ..sources.sources import (
+    Source, n_source_uniforms, sample as sample_source,
+)
 from ..tally import Tallies, zero_tallies
 from .fresnel import fresnel_coeff, reflect, refract
 from .scatter import sample_hg_cost, scatter_direction
 
-N_UNIFORMS = 16
-# uniform column assignments per megastep
-_U_SOURCE = slice(0, 8)
-_U_TAU0 = 8
-_U_FRESNEL = 9
-_U_ALBEDO = 10
-_U_HG_COST = 11
-_U_HG_PHI = 12
-_U_TAU = 13
-_U_ROULETTE = 14
+# uniform columns per megastep: a source-kind-dependent block followed by
+# seven fixed transport columns (offsets relative to the source block end)
+_N_TRANSPORT_U = 7
+_U_TAU0 = 0
+_U_FRESNEL = 1
+_U_ALBEDO = 2
+_U_HG_COST = 3
+_U_HG_PHI = 4
+_U_TAU = 5
+_U_ROULETTE = 6
 
 
 @dataclass(frozen=True)
@@ -232,8 +234,11 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     )
 
     skey = jax.random.fold_in(key, carry.step)
-    u = jax.random.uniform(skey, (B, N_UNIFORMS), dtype=dtype,
-                           minval=1e-12, maxval=1.0)
+    n_src_u = n_source_uniforms(source)
+    u_all = jax.random.uniform(skey, (B, n_src_u + _N_TRANSPORT_U),
+                               dtype=dtype, minval=1e-12, maxval=1.0)
+    u_src = u_all[:, :n_src_u]
+    u = u_all[:, n_src_u:]
 
     # =====================================================================
     # Phase 1: segment analysis (only lanes with no segment left)
@@ -254,11 +259,11 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         sid0 = jnp.clip((carry.launched + rank0) // per_voxel0, 0,
                         cfg.escape_shape[0] - 1).astype(jnp.int32)
         src_pos, src_dir, src_phase, src_wl = sample_source(
-            source, grid, u[:, _U_SOURCE], sid=sid0
+            source, grid, u_src, sid=sid0
         )
     else:
         src_pos, src_dir, src_phase, src_wl = sample_source(
-            source, grid, u[:, _U_SOURCE]
+            source, grid, u_src
         )
     r = respawn[:, None]
     pos = jnp.where(r, src_pos, st.pos)
@@ -344,9 +349,19 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     interior = jnp.logical_and(interior, jnp.logical_not(escaped))
 
     # --- boundary analysis (reference inttau2.f90:73-146, 209-337) -------
+    # one stacked 5-point eval (nudge probe + 4 tetrahedron normal taps,
+    # sdf_base.f90:166-190): a single fused kernel instead of three
     smallstep = d_sdf + 2.0 * eps
     p2 = pos + smallstep[:, None] * direction
-    ds2 = eval_scene(scene, p2)
+    tet = jnp.asarray(
+        [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0],
+         [1.0, 1.0, 1.0]], dtype,
+    )
+    pts5 = jnp.concatenate(
+        [p2[:, None, :], pos[:, None, :] + tet * (10.0 * eps)], axis=1
+    )  # [B, 5, 3]
+    ev5 = eval_scene(scene, pts5)  # [B, 5, N]
+    ds2 = ev5[:, 0, :]
     new_layer = scene_layer(ds2)
     outside_after = jnp.logical_and(on_boundary, new_layer == 0)
     same = jnp.logical_and(on_boundary, new_layer == layer)
@@ -372,7 +387,12 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         jnp.where(left, layer, jnp.where(fp_new, new_layer, layer)),
     )
 
-    normals = calc_normals(scene, pos, cfg.eps * 10.0)  # [B, N, 3]
+    # tetrahedron FD normals from the stacked taps above
+    n_all = sum(
+        ev5[:, 1 + k, :, None] * tet[k] for k in range(4)
+    )  # [B, N, 3]
+    n_norm = jnp.linalg.norm(n_all, axis=-1, keepdims=True)
+    normals = n_all / jnp.where(n_norm > 0.0, n_norm, 1.0)
     nidx = jnp.clip(bprim - 1, 0, scene.n_prims - 1)
     nvec = jnp.take_along_axis(
         normals, nidx[:, None, None].repeat(3, axis=2), axis=1
@@ -727,6 +747,19 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         died = jnp.logical_or(died, steps > cfg.max_scatter_order)
     alive = jnp.logical_and(alive, jnp.logical_not(died))
 
+    # utilisation counters: deposits made, lane-steps alive, segment
+    # analyses, interactions
+    if cfg.record_fluence:
+        n_dep = jnp.sum((deps_k > 0.0).astype(dtype))
+    else:
+        n_dep = jnp.asarray(0.0, dtype)
+    perf = tl.perf + jnp.stack([
+        n_dep,
+        jnp.sum(alive.astype(dtype)),
+        jnp.sum(need_seg.astype(dtype)),
+        jnp.sum(interact.astype(dtype)),
+    ])
+
     new_state = LaneState(
         pos=pos, dir=direction, weight=weight, layer=layer,
         tau=tau, seg_rem=seg_rem, seg_interact=seg_interact, alive=alive,
@@ -738,7 +771,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,
         mom_pos=mom_pos, mom_pos2=mom_pos2, escape_tot=escape_tot,
         tracks=tracks, track_count=track_count,
-        phasor_re=phasor_re, phasor_im=phasor_im,
+        phasor_re=phasor_re, phasor_im=phasor_im, perf=perf,
     )
     return SimCarry(
         state=new_state, tallies=new_tallies, bank=bank,
@@ -810,6 +843,36 @@ def _compact_lanes(carry: SimCarry, new_B: int) -> SimCarry:
         state=new_state, tallies=carry.tallies, bank=carry.bank,
         launched=carry.launched, step=carry.step,
     )
+
+
+def shrink_ladder(n_lanes: int, min_lanes: int) -> list:
+    """The deterministic sequence of wavefront widths ``simulate`` visits
+    when tail-shrinking (one /8 level per chunk)."""
+    ladder = [n_lanes]
+    while ladder[-1] > min_lanes:
+        ladder.append(max(min_lanes, ladder[-1] // 8))
+    return ladder
+
+
+def warmup(scene: Scene, source: Source, grid: CartGrid, key,
+           cfg: TransportConfig, bank: DetectorBank | None = None,
+           chunk_steps: int = 512, min_lanes: int = 4096):
+    """Compile every (batch size, chunk_steps) program a subsequent
+    ``simulate`` call with the same arguments will execute, so timed runs
+    never pay a compile.  ``chunk_steps`` MUST match the timed call: the
+    step count is a static jit argument."""
+    ladder = shrink_ladder(cfg.n_lanes, min_lanes)
+    for i, lanes in enumerate(ladder):
+        cfg_l = replace(cfg, n_lanes=lanes)
+        simulate(scene, source, grid, key, cfg_l, bank=bank,
+                 chunk_steps=chunk_steps, nphotons=max(lanes // 8, 1),
+                 tail_shrink=False)
+        if i + 1 < len(ladder):
+            # compile the tail-compaction gather for this transition too
+            carry = init_carry(grid, cfg_l, bank=bank)
+            jax.block_until_ready(
+                _compact_lanes(carry, ladder[i + 1]).state.pos
+            )
 
 
 def simulate(scene: Scene, source: Source, grid: CartGrid, key,

@@ -13,7 +13,9 @@ def run_one(M, K, B, nphotons):
     from rsmcrt_tpu.optics.properties import mono
     from rsmcrt_tpu.sdfs import scene as S
     from rsmcrt_tpu.sources.sources import build_source
-    from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+    from rsmcrt_tpu.transport.engine import (
+        TransportConfig, simulate, warmup,
+    )
 
     scene = S.build_scene([
         S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
@@ -23,15 +25,13 @@ def run_one(M, K, B, nphotons):
     src = build_source("point", position=[0.0, 0.0, 0.0])
     cfg = TransportConfig(nphotons=nphotons, n_lanes=B, dda_substeps=K,
                           march_iters=M)
-    # warmup with small chunks so the shrink ladder is walked and every
-    # batch size compiles before the timed run
-    simulate(scene, src, grid, jax.random.key(0), cfg,
-             nphotons=B // 4, min_lanes=512,
-             chunk_steps=16)[0].jmean.block_until_ready()
+    chunk = 96
+    warmup(scene, src, grid, jax.random.key(0), cfg, chunk_steps=chunk,
+           min_lanes=512)
     t0 = time.perf_counter()
     tallies, _, launched, steps = simulate(
         scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons,
-        min_lanes=512, chunk_steps=96)
+        min_lanes=512, chunk_steps=chunk)
     jax.block_until_ready(tallies.jmean)
     dt = time.perf_counter() - t0
     return int(launched) / dt, int(steps)
