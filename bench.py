@@ -27,7 +27,9 @@ def main():
     from rsmcrt_tpu.optics.properties import mono
     from rsmcrt_tpu.sdfs import scene as S
     from rsmcrt_tpu.sources.sources import build_source
-    from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+    from rsmcrt_tpu.transport.engine import (
+        TransportConfig, simulate, warmup,
+    )
 
     scene = S.build_scene([
         S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
@@ -38,20 +40,19 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 2048
-    nphotons = 200_000 if on_tpu else 4_000
+    nphotons = 500_000 if on_tpu else 4_000
+    chunk = 96
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=8)
+                          dda_substeps=12)
 
-    # warmup/compile with a tiny photon budget (same compiled program:
-    # the budget is a traced scalar; the tiny run also exercises and
-    # compiles the shrunken tail wavefront sizes)
-    simulate(scene, src, grid, jax.random.key(0), cfg,
-             nphotons=lanes // 4, min_lanes=512)[0].jmean.block_until_ready()
+    # compile every program of the tail-shrink ladder before timing
+    warmup(scene, src, grid, jax.random.key(0), cfg, chunk_steps=chunk,
+           min_lanes=512)
 
     t0 = time.perf_counter()
     tallies, _, launched, steps = simulate(
         scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons,
-        min_lanes=512
+        min_lanes=512, chunk_steps=chunk
     )
     jax.block_until_ready(tallies.jmean)
     dt = time.perf_counter() - t0

@@ -14,7 +14,9 @@ def run_one(M, K, B, nphotons, chunk=128):
     from rsmcrt_tpu.optics.properties import mono
     from rsmcrt_tpu.sdfs import scene as S
     from rsmcrt_tpu.sources.sources import build_source
-    from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+    from rsmcrt_tpu.transport.engine import (
+        TransportConfig, simulate, warmup,
+    )
 
     scene = S.build_scene([
         S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
@@ -24,9 +26,8 @@ def run_one(M, K, B, nphotons, chunk=128):
     src = build_source("point", position=[0.0, 0.0, 0.0])
     cfg = TransportConfig(nphotons=nphotons, n_lanes=B, dda_substeps=K,
                           march_iters=M)
-    simulate(scene, src, grid, jax.random.key(0), cfg,
-             nphotons=B // 4, min_lanes=512,
-             chunk_steps=chunk)[0].jmean.block_until_ready()
+    warmup(scene, src, grid, jax.random.key(0), cfg, chunk_steps=chunk,
+           min_lanes=512)
 
     events = []
     t0 = time.perf_counter()
@@ -48,6 +49,11 @@ def run_one(M, K, B, nphotons, chunk=128):
     print(f"M={M} K={K} B={B} n={nphotons}: total {dt:.2f}s "
           f"({int(launched)/dt/1e3:.1f}k ph/s) | full-width {t_full:.2f}s "
           f"{s_full} steps | tail {dt-t_full:.2f}s {int(steps)-s_full} steps")
+    import numpy as np
+    p = np.asarray(tallies.perf) / int(launched)
+    print(f"  per photon: deposits {p[0]:.1f}  alive-steps {p[1]:.1f}  "
+          f"analyses {p[2]:.1f}  interactions {p[3]:.1f}  "
+          f"slot-util {p[0]/(p[1]*K):.2f}")
     for t, l, s, a, b in events:
         print(f"  t={t:7.2f}s launched={l:8d} step={s:6d} alive={a:6d} B={b}")
 
