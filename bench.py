@@ -40,19 +40,20 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 2048
-    nphotons = 500_000 if on_tpu else 4_000
+    nphotons = 2_000_000 if on_tpu else 4_000
     chunk = 96
+    min_lanes = 64
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=12)
+                          dda_substeps=16)
 
     # compile every program of the tail-shrink ladder before timing
     warmup(scene, src, grid, jax.random.key(0), cfg, chunk_steps=chunk,
-           min_lanes=512)
+           min_lanes=min_lanes)
 
     t0 = time.perf_counter()
     tallies, _, launched, steps = simulate(
         scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons,
-        min_lanes=512, chunk_steps=chunk
+        min_lanes=min_lanes, chunk_steps=chunk
     )
     jax.block_until_ready(tallies.jmean)
     dt = time.perf_counter() - t0

@@ -387,16 +387,15 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         jnp.where(left, layer, jnp.where(fp_new, new_layer, layer)),
     )
 
-    # tetrahedron FD normals from the stacked taps above
-    n_all = sum(
-        ev5[:, 1 + k, :, None] * tet[k] for k in range(4)
-    )  # [B, N, 3]
-    n_norm = jnp.linalg.norm(n_all, axis=-1, keepdims=True)
-    normals = n_all / jnp.where(n_norm > 0.0, n_norm, 1.0)
+    # tetrahedron FD normal of the crossed prim only: gather its 4 tap
+    # values, then combine (cheaper than forming normals for all N prims)
     nidx = jnp.clip(bprim - 1, 0, scene.n_prims - 1)
-    nvec = jnp.take_along_axis(
-        normals, nidx[:, None, None].repeat(3, axis=2), axis=1
-    )[:, 0, :]
+    taps = jnp.take_along_axis(
+        ev5[:, 1:5, :], nidx[:, None, None], axis=2
+    )[..., 0]  # [B, 4]
+    nvec = sum(taps[:, k:k + 1] * tet[k] for k in range(4))  # [B, 3]
+    n_norm = jnp.linalg.norm(nvec, axis=-1, keepdims=True)
+    nvec = nvec / jnp.where(n_norm > 0.0, n_norm, 1.0)
 
     ri = fresnel_coeff(direction, nvec, n1, n2)
     reflecting = jnp.logical_and(need_fresnel, u[:, _U_FRESNEL] <= ri)
@@ -873,6 +872,7 @@ def warmup(scene: Scene, source: Source, grid: CartGrid, key,
     ladder = shrink_ladder(cfg.n_lanes, min_lanes)
     for i, lanes in enumerate(ladder):
         cfg_l = replace(cfg, n_lanes=lanes)
+        # simulate() stretches chunks 8x at tail widths -- compile both
         simulate(scene, source, grid, key, cfg_l, bank=bank,
                  chunk_steps=chunk_steps, nphotons=max(lanes // 8, 1),
                  tail_shrink=False)
@@ -905,8 +905,12 @@ def simulate(scene: Scene, source: Source, grid: CartGrid, key,
     cur_cfg = cfg
     carry = init_carry(grid, cfg, bank=bank, dtype=dtype)
     while True:
+        # straggler tail = one serial photon chain at a tiny batch size:
+        # use longer chunks there so host round trips stop dominating
+        cur_chunk = (chunk_steps if cur_cfg.n_lanes > 1024
+                     else 8 * chunk_steps)
         carry = _run_steps(scene, source, grid, key, carry, cur_cfg,
-                           chunk_steps, n_target)
+                           cur_chunk, n_target)
         launched = int(carry.launched)
         step = int(carry.step)
         if progress is not None:
