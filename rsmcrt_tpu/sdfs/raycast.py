@@ -31,9 +31,11 @@ from ..maths.transforms import apply_rotation, apply_transform
 
 _INF = jnp.inf
 
-# prim kinds with closed-form ray crossings; everything else falls back to
-# sphere-trace marching
-ANALYTIC_KINDS = ("sphere", "box", "plane", "cylinder", "capsule", "segment")
+# prim kinds with closed-form ray crossings; everything else (torus/egg/
+# triprism quartics, all modifiers, CSG models) falls back to sphere-trace
+# marching
+ANALYTIC_KINDS = ("sphere", "box", "plane", "cylinder", "capsule",
+                  "segment", "cone")
 
 
 def _first_pos(*ts):
@@ -106,7 +108,12 @@ def _side_roots(A, B, C):
     t1 = (-B - sq) / safeA
     t2 = (-B + sq) / safeA
     bad = jnp.logical_or(disc < 0.0, A == 0.0)
-    return jnp.where(bad, _INF, t1), jnp.where(bad, _INF, t2)
+    t1 = jnp.where(bad, _INF, t1)
+    t2 = jnp.where(bad, _INF, t2)
+    # degenerate linear case (cone slant-parallel rays): A=0, B!=0
+    lin = jnp.logical_and(A == 0.0, B != 0.0)
+    t_lin = -C / jnp.where(B == 0.0, 1.0, 2.0 * B)
+    return jnp.where(lin, t_lin, t1), t2
 
 
 def ray_cylinder(p, d, a, b, radius):
@@ -155,6 +162,38 @@ def ray_capsule(p, d, a, b, r):
     )
 
 
+def ray_cone(p, d, a, b, ra, rb):
+    """Capped cone, radius ``ra`` at ``a`` linearly to ``rb`` at ``b``
+    (reference sd_cone, src/sdfs/sdfs.f90:650).  Lateral sheet:
+    ``|radial(t)| = ra + (rb-ra) u(t)`` -> a quadratic in t."""
+    ba, m, baba, u_m, u_d, mp, dp, A, B = _axis_decomp(p, d, a, b)
+    rba = rb - ra
+    c0 = ra + rba * u_m
+    c1 = rba * u_d
+    qa = A - c1 * c1
+    qb = B - c0 * c1
+    qc = jnp.sum(mp * mp, axis=-1) - c0 * c0
+    t1, t2 = _side_roots(qa, qb, qc)
+
+    def side_ok(t):
+        u = u_m + t * u_d
+        ok = jnp.logical_and(
+            jnp.logical_and(u >= 0.0, u <= 1.0),
+            c0 + c1 * t >= 0.0,  # same nappe of the cone
+        )
+        return jnp.where(ok, t, _INF)
+
+    def cap(u_target, radius):
+        safe = jnp.where(u_d == 0.0, 1.0, u_d)
+        t = (u_target - u_m) / safe
+        q = mp + dp * t[..., None]
+        rr = jnp.sum(q * q, axis=-1)
+        ok = jnp.logical_and(u_d != 0.0, rr <= radius * radius)
+        return jnp.where(ok, t, _INF)
+
+    return _first_pos(side_ok(t1), side_ok(t2), cap(0.0, ra), cap(1.0, rb))
+
+
 def _ray_prim(spec, params, pos, dirn):
     T = params["transform"]
     p = apply_transform(T, pos)
@@ -174,6 +213,9 @@ def _ray_prim(spec, params, pos, dirn):
         # fixed 0.1 thickness capsule (reference sdfs.f90:624)
         return ray_capsule(p, d, params["a"], params["b"],
                            jnp.asarray(0.1, pos.dtype))
+    if kind == "cone":
+        return ray_cone(p, d, params["a"], params["b"], params["ra"],
+                        params["rb"])
     raise ValueError(f"no analytic raycast for {kind!r}")
 
 

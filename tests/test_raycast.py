@@ -67,6 +67,8 @@ def _prims(rng):
                   transform=_rigid(rng)),
         S.segment([-0.2, -0.2, 0.0], [0.3, 0.4, 0.1], OPT, 1,
                   transform=_rigid(rng)),
+        S.cone([0.0, 0.0, -0.5], [0.0, 0.1, 0.6], 0.55, 0.2, OPT, 1,
+               transform=_rigid(rng)),
     ]
 
 
