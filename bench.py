@@ -22,14 +22,13 @@ import jax.numpy as jnp
 PER_CHIP_TARGET = 1e9 / 8.0  # north-star 1e9 photons/s on v5e-8
 
 
-def main():
+def bench_case(dtype=None):
+    """The headline benchmark scene/grid/source (res/sphere.toml), shared
+    with the sweep/profiling tools so they stay comparable."""
     from rsmcrt_tpu.grid import cart_grid
     from rsmcrt_tpu.optics.properties import mono
     from rsmcrt_tpu.sdfs import scene as S
     from rsmcrt_tpu.sources.sources import build_source
-    from rsmcrt_tpu.transport.engine import (
-        TransportConfig, simulate, warmup,
-    )
 
     scene = S.build_scene([
         S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
@@ -37,6 +36,15 @@ def main():
     ])
     grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
     src = build_source("point", position=[0.0, 0.0, 0.0])
+    return scene, grid, src
+
+
+def main():
+    from rsmcrt_tpu.transport.engine import (
+        TransportConfig, simulate, warmup,
+    )
+
+    scene, grid, src = bench_case()
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 2048

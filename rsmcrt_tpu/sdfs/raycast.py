@@ -150,16 +150,29 @@ def ray_capsule(p, d, a, b, r):
         return jnp.where(jnp.logical_and(u >= 0.0, u <= 1.0), t, _INF)
 
     def cap_sphere(center, beyond_hi):
-        t = ray_sphere(p - center, d, r)
-        u = u_m + t * u_d
-        # only the spherical caps outside the cylindrical span are surface
-        ok = jnp.where(beyond_hi, u > 1.0, u < 0.0)
-        return jnp.where(ok, t, _INF)
+        # BOTH sphere roots must be tested individually: a ray from inside
+        # the capsule exiting axially has its first root inside the
+        # cylindrical span (not capsule surface) and its true cap exit at
+        # the second root
+        pc = p - center
+        bq = jnp.sum(pc * d, axis=-1)
+        cq = jnp.sum(pc * pc, axis=-1) - r * r
+        disc = bq * bq - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        miss = disc < 0.0
 
-    return _first_pos(
-        side_ok(t1), side_ok(t2),
-        cap_sphere(a, False), cap_sphere(b, True),
-    )
+        def ok(t):
+            u = u_m + t * u_d
+            on_cap = jnp.where(beyond_hi, u > 1.0, u < 0.0)
+            return jnp.where(jnp.logical_or(miss,
+                                            jnp.logical_not(on_cap)),
+                             _INF, t)
+
+        return ok(-bq - sq), ok(-bq + sq)
+
+    ca1, ca2 = cap_sphere(a, False)
+    cb1, cb2 = cap_sphere(b, True)
+    return _first_pos(side_ok(t1), side_ok(t2), ca1, ca2, cb1, cb2)
 
 
 def ray_cone(p, d, a, b, ra, rb):

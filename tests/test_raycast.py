@@ -132,6 +132,32 @@ def test_mixed_scene_mask_and_bound():
     assert float(t[0]) == pytest.approx(0.9, abs=1e-5)
 
 
+def test_interior_axial_exits():
+    """Rays from INSIDE a prim exiting along its axis -- the capsule end
+    caps are sphere surfaces whose first root lies inside the cylindrical
+    span, so the second root must be tested (regression: cap exits
+    returned inf and photons tunnelled through capsule walls)."""
+    cases = [
+        (S.capsule([0.0, 0.0, 0.0], [0.0, 0.0, 1.0], 0.5, OPT, 1),
+         [0.0, 0.0, 0.7], [0.0, 0.0, -1.0], 1.2),
+        (S.capsule([0.0, 0.0, 0.0], [0.0, 0.0, 1.0], 0.5, OPT, 1),
+         [0.0, 0.0, 0.3], [0.0, 0.0, 1.0], 1.2),
+        (S.segment([0.0, 0.0, 0.0], [0.0, 0.0, 1.0], OPT, 1),
+         [0.0, 0.0, 0.5], [0.0, 0.0, 1.0], 0.6),  # r = 0.1 fixed
+        (S.cylinder([0.0, 0.0, 0.0], [0.0, 0.0, 1.0], 0.5, OPT, 1),
+         [0.0, 0.0, 0.3], [0.0, 0.0, 1.0], 0.7),
+        (S.cone([0.0, 0.0, 0.0], [0.0, 0.0, 1.0], 0.5, 0.3, OPT, 1),
+         [0.0, 0.0, 0.3], [0.0, 0.0, 1.0], 0.7),
+        (S.sphere(0.5, OPT, 1), [0.0, 0.0, 0.1], [0.0, 0.0, 1.0], 0.4),
+    ]
+    for prim, p0, d, t_expect in cases:
+        scene = S.build_scene([prim])
+        t = float(raycast.ray_bound(
+            scene, jnp.asarray([p0], jnp.float32),
+            jnp.asarray([d], jnp.float32))[0])
+        assert t == pytest.approx(t_expect, abs=1e-5), (prim.kind, t)
+
+
 def test_grazing_ray_misses():
     """A ray passing 1e-3 outside the sphere never crosses: the raycast
     must return the box exit, not creep."""

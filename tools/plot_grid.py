@@ -19,6 +19,10 @@ def main(argv):
     log = "--log" in argv
     out = (argv[argv.index("-o") + 1] if "-o" in argv
            else str(Path(fname).with_suffix(".png")))
+    sel_axis = (int(argv[argv.index("--axis") + 1]) if "--axis" in argv
+                else None)
+    sel_index = (int(argv[argv.index("--index") + 1]) if "--index" in argv
+                 else None)
     data, hdr = read_nrrd(fname)
     data = np.asarray(data)
     if log:
@@ -30,17 +34,28 @@ def main(argv):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(2, 2, figsize=(9, 8))
     names = ["x", "y", "z"]
-    for ax, axis in zip(axes.flat[:3], range(3)):
-        idx = data.shape[axis] // 2
-        sl = np.take(data, idx, axis=axis)
-        im = ax.imshow(sl.T, origin="lower", cmap="inferno")
-        ax.set_title(f"mid-{names[axis]} slice")
+    if sel_axis is not None:
+        # single selected slice
+        idx = (sel_index if sel_index is not None
+               else data.shape[sel_axis] // 2)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        im = ax.imshow(np.take(data, idx, axis=sel_axis).T,
+                       origin="lower", cmap="inferno")
+        ax.set_title(f"{names[sel_axis]} = {idx}")
         fig.colorbar(im, ax=ax, shrink=0.8)
-    prof = data.mean(axis=(0, 1))
-    axes.flat[3].plot(prof)
-    axes.flat[3].set_title("mean over x,y vs z index")
+    else:
+        fig, axes = plt.subplots(2, 2, figsize=(9, 8))
+        for ax, axis in zip(axes.flat[:3], range(3)):
+            idx = (sel_index if sel_index is not None
+                   else data.shape[axis] // 2)
+            sl = np.take(data, idx, axis=axis)
+            im = ax.imshow(sl.T, origin="lower", cmap="inferno")
+            ax.set_title(f"{names[axis]} = {idx} slice")
+            fig.colorbar(im, ax=ax, shrink=0.8)
+        prof = data.mean(axis=(0, 1))
+        axes.flat[3].plot(prof)
+        axes.flat[3].set_title("mean over x,y vs z index")
     fig.suptitle(Path(fname).name + (" (log10)" if log else ""))
     fig.tight_layout()
     fig.savefig(out, dpi=110)

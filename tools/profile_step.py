@@ -32,22 +32,16 @@ def main():
     p.add_argument("-n", type=int, default=50, help="megasteps per timing")
     args = p.parse_args()
 
-    from rsmcrt_tpu.grid import cart_grid, get_voxel, voxel_flat_index
-    from rsmcrt_tpu.optics.properties import mono
-    from rsmcrt_tpu.sdfs import scene as S
+    from bench import bench_case
+    from rsmcrt_tpu.grid import get_voxel, voxel_flat_index
     from rsmcrt_tpu.sdfs.scene import calc_normals, eval_scene
-    from rsmcrt_tpu.sources.sources import build_source, sample as sample_source
+    from rsmcrt_tpu.sources.sources import sample as sample_source
     from rsmcrt_tpu.transport.engine import (
         TransportConfig, init_carry, transport_step,
     )
 
     B, K, N = args.B, args.K, args.n
-    scene = S.build_scene([
-        S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
-        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
-    ])
-    grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
-    src = build_source("point", position=[0.0, 0.0, 0.0])
+    scene, grid, src = bench_case()
     cfg = TransportConfig(nphotons=1 << 30, n_lanes=B, dda_substeps=K)
     key = jax.random.key(0)
 

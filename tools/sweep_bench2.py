@@ -10,20 +10,12 @@ import jax.numpy as jnp
 
 
 def run_one(M, K, B, nphotons, chunk=128):
-    from rsmcrt_tpu.grid import cart_grid
-    from rsmcrt_tpu.optics.properties import mono
-    from rsmcrt_tpu.sdfs import scene as S
-    from rsmcrt_tpu.sources.sources import build_source
+    from bench import bench_case
     from rsmcrt_tpu.transport.engine import (
         TransportConfig, simulate, warmup,
     )
 
-    scene = S.build_scene([
-        S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
-        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
-    ])
-    grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
-    src = build_source("point", position=[0.0, 0.0, 0.0])
+    scene, grid, src = bench_case()
     cfg = TransportConfig(nphotons=nphotons, n_lanes=B, dda_substeps=K,
                           march_iters=M)
     warmup(scene, src, grid, jax.random.key(0), cfg, chunk_steps=chunk,
