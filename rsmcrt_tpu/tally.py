@@ -47,7 +47,9 @@ class Tallies:
     # performance counters [n_deposits, n_alive_steps, n_need_seg_steps,
     # n_interactions] summed over megasteps (the reference's analogue is
     # the per-photon SDF-eval/bounce counters, photon.f90:48) -- cheap
-    # scalar reductions used to diagnose wavefront slot utilisation
+    # scalar reductions used to diagnose wavefront slot utilisation.
+    # int32: f32 accumulation rounds away increments past 2^24 events
+    # (a 2M-photon bench already generates ~6e8 deposits)
     perf: jnp.ndarray = None
 
 
@@ -68,7 +70,7 @@ def zero_tallies(grid: CartGrid, dtype=jnp.float32,
         track_count=jnp.zeros((), jnp.int32),
         phasor_re=jnp.zeros((np_,), dtype),
         phasor_im=jnp.zeros((np_,), dtype),
-        perf=jnp.zeros((4,), dtype),
+        perf=jnp.zeros((4,), jnp.int32),
     )
 
 

@@ -758,14 +758,14 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # utilisation counters: deposits made, lane-steps alive, segment
     # analyses, interactions
     if cfg.record_fluence:
-        n_dep = jnp.sum((deps_k > 0.0).astype(dtype))
+        n_dep = jnp.sum((deps_k > 0.0).astype(jnp.int32))
     else:
-        n_dep = jnp.asarray(0.0, dtype)
+        n_dep = jnp.zeros((), jnp.int32)
     perf = tl.perf + jnp.stack([
         n_dep,
-        jnp.sum(alive.astype(dtype)),
-        jnp.sum(need_seg.astype(dtype)),
-        jnp.sum(interact.astype(dtype)),
+        jnp.sum(alive.astype(jnp.int32)),
+        jnp.sum(need_seg.astype(jnp.int32)),
+        jnp.sum(interact.astype(jnp.int32)),
     ])
 
     new_state = LaneState(

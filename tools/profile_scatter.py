@@ -5,21 +5,14 @@ the target buffer size matter?  Does a fresh-buffer scatter + dense add
 beat accumulating scatter?
 """
 import argparse
-import time
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 
-
-def timed(fn, *args, reps=5, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+sys.path.insert(0, os.path.dirname(__file__))
+from _timing import timed  # noqa: E402  (forces a host read per timing)
 
 
 def main():
