@@ -81,6 +81,35 @@ def _set_prim_optics(scene: Scene, prim_index: int, mus, mua, hgg, n):
     return dc_replace(scene, tables=new_tables)
 
 
+def _prim_group_slot(scene: Scene, prim_index: int):
+    """(group, member) slot of a prim in the stacked group parameters."""
+    col = scene.perm[prim_index]
+    acc = 0
+    for g, size in enumerate(scene.group_sizes):
+        if col < acc + size:
+            return g, col - acc
+        acc += size
+    raise IndexError(prim_index)
+
+
+def _set_prim_shape(scene: Scene, prim_index: int, name: str, value):
+    """Return a scene with one prim's shape parameter (e.g. a sphere's
+    ``radius``) replaced.  Geometry parameters are leaves of the stacked
+    group pytree, so the whole transport remains a pure function of them
+    -- the basis for SDF-shape recovery (which the reference cannot do at
+    all, kernelsMod.f90:1553-1561 searches optical properties only)."""
+    g, m = _prim_group_slot(scene, prim_index)
+    params = scene.group_params[g]
+    if name not in params:
+        raise KeyError(
+            f"prim {prim_index} has shape parameters {sorted(params)}, "
+            f"not {name!r}"
+        )
+    new_params = list(scene.group_params)
+    new_params[g] = {**params, name: params[name].at[m].set(value)}
+    return dc_replace(scene, group_params=new_params)
+
+
 def inverse_evaluate(totals, nphotons, target_values):
     """Error = -(1/M) Sum |total/N - target| over detectors with a target
     (reference: inverse_evaluate, kernelsMod.f90:1753-1787)."""
@@ -100,7 +129,7 @@ def _forward(parsed, scene, cfg, seed, inverse_prim=0):
         cfg, bank=bank,
     )
     tot = np.asarray(detector_totals(bank_out))
-    stats = np.asarray(tallies.escape_tot) if inverse_prim else None
+    stats = np.asarray(tallies.pmc_stats) if inverse_prim else None
     return tot, stats, int(launched)
 
 
@@ -157,22 +186,50 @@ def inverse_random_search(input_file, nsteps=None, nphotons=None,
     return best, history
 
 
+def _crn_fd_totals(parsed, scene_lo, scene_hi, cfg, seed, h):
+    """Common-random-number central difference of the detector totals:
+    both runs use the SAME RNG key, so the paths stay maximally
+    correlated and the difference isolates the parameter effect.  Used
+    for n and SDF-shape derivatives, where the parameter moves photons
+    deterministically (Snell bending / boundary position) and the
+    likelihood-ratio (pMC) score cannot capture the full derivative."""
+    t_hi, _, n_hi = _forward(parsed, scene_hi, cfg, seed)
+    t_lo, _, n_lo = _forward(parsed, scene_lo, cfg, seed)
+    return (t_hi.astype(np.float64) / n_hi
+            - t_lo.astype(np.float64) / n_lo) / (2.0 * h)
+
+
 def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
                              n_lanes=None, lr=0.1, res_dir=None,
-                             verbose=True, seed=None):
-    """Perturbation-MC gradient recovery of (mus, mua, g) -- the working,
-    differentiable replacement for the reference's broken AdaLIPO loop."""
+                             verbose=True, seed=None, shape_params=None,
+                             h_n=2e-2, h_shape=2e-2, find=None,
+                             lr_decay=10.0):
+    """Gradient recovery of (mus, mua, g, n) plus optional SDF shape
+    parameters -- the working, differentiable replacement for the
+    reference's broken AdaLIPO loop.
+
+    (mus, mua, g) use the closed-form perturbation-MC scores accumulated
+    during the forward run (one run per step).  n and shape parameters
+    (``shape_params=["radius", ...]``) use common-random-number central
+    differences (two extra runs per parameter per step): their effect on
+    a path is a deterministic deflection/boundary shift, which a
+    likelihood-ratio estimator cannot represent, while CRN differences
+    converge to the true derivative with variance ~ O(h) rather than the
+    O(1/h^2) of independent-seed differences."""
     parsed, scene = setup(input_file, kernel="inverse", res_dir=res_dir)
     st = parsed.settings
     inv = st.inverse
     prim_index = _prim_location(scene, inv["layer"])
     targets = np.asarray(parsed.detectors.target_values, np.float64)
-    ndect = parsed.detectors.n_detectors
 
-    find = [k for k, fk in (("mus", "Findmus"), ("mua", "Findmua"),
-                            ("g", "Findg")) if inv[fk]]
-    if inv["Findn"] and verbose:
-        print("note: n recovery uses random search, not gradients")
+    if find is None:
+        find = [k for k, fk in (("mus", "Findmus"), ("mua", "Findmua"),
+                                ("g", "Findg")) if inv[fk]]
+        find_n = bool(inv["Findn"])
+    else:
+        find_n = "n" in find
+        find = [k for k in find if k in ("mus", "mua", "g")]
+    shape_params = list(shape_params or [])
 
     i = prim_index + 1
     theta = {
@@ -181,22 +238,33 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
         "g": float(scene.tables.hgg[i]),
         "n": float(scene.tables.n[i]),
     }
+    g_slot, m_slot = _prim_group_slot(scene, prim_index)
+    for sp in shape_params:
+        theta[sp] = float(
+            np.asarray(scene.group_params[g_slot][sp])[m_slot]
+        )
     nph = int(nphotons if nphotons is not None else st.nphotons)
     cfg = TransportConfig(
         nphotons=nph,
         n_lanes=int(n_lanes or default_lanes(nph)),
         inverse_prim=prim_index + 1,
-        escape_shape=(ndect, 4),
     )
 
+    def build_scene_at(th):
+        sc = _set_prim_optics(scene, prim_index, th["mus"], th["mua"],
+                              th["g"], th["n"])
+        for sp in shape_params:
+            sc = _set_prim_shape(sc, prim_index, sp, th[sp])
+        return sc
+
+    all_params = find + (["n"] if find_n else []) + shape_params
     # Adam state
-    m = {k: 0.0 for k in find}
-    v = {k: 0.0 for k in find}
+    m = {k: 0.0 for k in all_params}
+    v = {k: 0.0 for k in all_params}
     history = []
     base_seed = seed if seed is not None else st.iseed
     for it in range(nsteps):
-        sc = _set_prim_optics(scene, prim_index, theta["mus"],
-                              theta["mua"], theta["g"], theta["n"])
+        sc = build_scene_at(theta)
         tot, stats, launched = _forward(parsed, sc, cfg,
                                         base_seed + it,
                                         inverse_prim=prim_index + 1)
@@ -208,58 +276,79 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
         sgn = np.sign(tot / launched - targets) * mask
         mcount = max(mask.sum(), 1)
         mus = max(theta["mus"], 1e-9)
-        dT_dmus = swc / mus - swl
-        dT_dmua = -swl
-        dT_dg = swh
-        grads = {
-            "mus": -float((sgn * dT_dmus).sum() / launched / mcount),
-            "mua": -float((sgn * dT_dmua).sum() / launched / mcount),
-            "g": -float((sgn * dT_dg).sum() / launched / mcount),
+        dT = {
+            "mus": swc / mus - swl,
+            "mua": -swl,
+            "g": swh,
         }
+        grads = {
+            k: -float((sgn * dT[k]).sum() / launched / mcount)
+            for k in find
+        }
+        if find_n:
+            th_lo = {**theta, "n": theta["n"] - h_n}
+            th_hi = {**theta, "n": theta["n"] + h_n}
+            dTn = _crn_fd_totals(parsed, build_scene_at(th_lo),
+                                 build_scene_at(th_hi), cfg,
+                                 base_seed + it, h_n)
+            grads["n"] = -float((sgn * dTn).sum() / mcount)
+        for sp in shape_params:
+            th_lo = {**theta, sp: theta[sp] - h_shape}
+            th_hi = {**theta, sp: theta[sp] + h_shape}
+            dTs = _crn_fd_totals(parsed, build_scene_at(th_lo),
+                                 build_scene_at(th_hi), cfg,
+                                 base_seed + it, h_shape)
+            grads[sp] = -float((sgn * dTs).sum() / mcount)
         history.append({**theta, "error": err,
-                        "grads": {k: grads[k] for k in find}})
+                        "grads": dict(grads)})
         if verbose:
             print(f"step {it}: err={err:.6f} "
-                  + " ".join(f"{k}={theta[k]:.4f}" for k in find))
-        # Adam ascent on err (maximise; err <= 0)
+                  + " ".join(f"{k}={theta[k]:.4f}" for k in all_params))
+        # Adam ascent on err (maximise; err <= 0) with 1/(1+t/T) decay --
+        # near the MC noise floor a constant step oscillates
         b1, b2, eps = 0.9, 0.999, 1e-8
-        for k in find:
+        lr_t = lr / (1.0 + it / lr_decay)
+        for k in all_params:
             gk = grads[k]
             m[k] = b1 * m[k] + (1 - b1) * gk
             v[k] = b2 * v[k] + (1 - b2) * gk * gk
             mh = m[k] / (1 - b1 ** (it + 1))
             vh = v[k] / (1 - b2 ** (it + 1))
-            theta[k] = theta[k] + lr * mh / (np.sqrt(vh) + eps)
-            lo, hi = BOUNDS[k]
-            theta[k] = float(np.clip(theta[k], lo, hi))
-    return theta, history
+            theta[k] = theta[k] + lr_t * mh / (np.sqrt(vh) + eps)
+            if k in BOUNDS:
+                lo, hi = BOUNDS[k]
+                theta[k] = float(np.clip(theta[k], lo, hi))
+            else:
+                theta[k] = float(max(theta[k], 1e-3))  # shape > 0
+    best = max(history, key=lambda h: h["error"])
+    return {k: best[k] for k in theta}, history
 
 
 def detector_gradients(input_file, nphotons=None, n_lanes=None,
-                       res_dir=None, seed=None):
-    """Per-detector totals and their pMC gradients w.r.t. (mus, mua, g) of
-    the inverse layer at the current scene parameters.  Used for
-    finite-difference validation."""
+                       res_dir=None, seed=None, h_n=2e-2, h_shape=2e-2,
+                       shape_param=None, want_n=False):
+    """Per-detector totals and their gradients at the current scene
+    parameters: pMC scores for (mus, mua, g), CRN central differences for
+    n (``want_n``) and one shape parameter (``shape_param``).  Used for
+    finite-difference validation (BASELINE.md gradients row)."""
     parsed, scene = setup(input_file, kernel="inverse", res_dir=res_dir)
     st = parsed.settings
     inv = st.inverse
     prim_index = _prim_location(scene, inv["layer"])
-    ndect = parsed.detectors.n_detectors
     nph = int(nphotons if nphotons is not None else st.nphotons)
     cfg = TransportConfig(
         nphotons=nph,
         n_lanes=int(n_lanes or default_lanes(nph)),
         inverse_prim=prim_index + 1,
-        escape_shape=(ndect, 4),
     )
+    base_seed = seed if seed is not None else st.iseed
     tot, stats, launched = _forward(
-        parsed, scene, cfg, seed if seed is not None else st.iseed,
-        inverse_prim=prim_index + 1,
+        parsed, scene, cfg, base_seed, inverse_prim=prim_index + 1,
     )
     i = prim_index + 1
     mus = float(scene.tables.mus[i])
     sw, swc, swl, swh = (stats[:, j].astype(np.float64) for j in range(4))
-    return dict(
+    out = dict(
         totals=tot,
         launched=launched,
         dT_dmus=swc / max(mus, 1e-9) - swl,
@@ -270,6 +359,28 @@ def detector_gradients(input_file, nphotons=None, n_lanes=None,
         prim_index=prim_index,
         cfg=cfg,
     )
+    if want_n:
+        n0 = float(scene.tables.n[i])
+        mua0 = float(scene.tables.mua[i])
+        g0 = float(scene.tables.hgg[i])
+        sc_lo = _set_prim_optics(scene, prim_index, mus, mua0, g0,
+                                 n0 - h_n)
+        sc_hi = _set_prim_optics(scene, prim_index, mus, mua0, g0,
+                                 n0 + h_n)
+        out["dT_dn"] = _crn_fd_totals(parsed, sc_lo, sc_hi, cfg,
+                                      base_seed, h_n) * launched
+    if shape_param is not None:
+        g_slot, m_slot = _prim_group_slot(scene, prim_index)
+        s0 = float(np.asarray(scene.group_params[g_slot][shape_param])
+                   [m_slot])
+        sc_lo = _set_prim_shape(scene, prim_index, shape_param,
+                                s0 - h_shape)
+        sc_hi = _set_prim_shape(scene, prim_index, shape_param,
+                                s0 + h_shape)
+        out[f"dT_d{shape_param}"] = _crn_fd_totals(
+            parsed, sc_lo, sc_hi, cfg, base_seed, h_shape
+        ) * launched
+    return out
 
 
 def inverse_MCRT(input_file, data_dir="data", n_lanes=None, res_dir=None,

@@ -34,6 +34,10 @@ class Tallies:
     # (reference escapeSymmetry, src/kernelsMod.f90:623-640); shape
     # [n_source_voxels, n_detectors], (0, 0) when unused
     escape_tot: jnp.ndarray
+    # perturbation-MC sufficient statistics for the inverse kernel:
+    # [n_detectors, 4] rows [Sum w, Sum w*cnt, Sum w*len, Sum w*hg]
+    # (its own field so pMC mode composes with escape-function mode)
+    pmc_stats: jnp.ndarray
     # detected photon path traces [max_tracks, H, 4] + count
     # (reference historyStack.f90)
     tracks: jnp.ndarray
@@ -55,7 +59,7 @@ class Tallies:
 
 def zero_tallies(grid: CartGrid, dtype=jnp.float32,
                  escape_shape=(0, 0), history_shape=(0, 1),
-                 phasor: bool = False) -> Tallies:
+                 phasor: bool = False, pmc_shape=(0, 4)) -> Tallies:
     n = grid.nxg * grid.nyg * grid.nzg
     np_ = n if phasor else 0
     return Tallies(
@@ -66,6 +70,7 @@ def zero_tallies(grid: CartGrid, dtype=jnp.float32,
         mom_pos=jnp.zeros((4, 3), dtype),
         mom_pos2=jnp.zeros((4, 3), dtype),
         escape_tot=jnp.zeros(escape_shape, dtype),
+        pmc_stats=jnp.zeros(pmc_shape, dtype),
         tracks=jnp.zeros(history_shape + (4,), dtype),
         track_count=jnp.zeros((), jnp.int32),
         phasor_re=jnp.zeros((np_,), dtype),

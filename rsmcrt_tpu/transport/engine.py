@@ -104,7 +104,8 @@ class TransportConfig:
     # escape-function mode: (n_source_voxels, n_detectors); photons are
     # attributed round-robin to source voxels and detector hits accumulate
     # into tallies.escape_tot (batched TPU version of the reference's
-    # per-voxel simulation loop, kernelsMod.f90:533-642)
+    # per-voxel simulation loop, kernelsMod.f90:533-642).  Orthogonal to
+    # the pMC inverse statistics, which have their own tally field.
     escape_shape: tuple = (0, 0)
     # photon path history: ring length per lane (0 = off).  Paths of
     # detected photons are flushed to tallies.tracks, the TPU version of
@@ -120,7 +121,7 @@ class TransportConfig:
     # perturbation-MC gradient mode: 1-based prim index whose optical
     # properties are being recovered; per-detected-photon sufficient
     # statistics (scatter count, path length, HG score in that prim)
-    # accumulate into tallies.escape_tot rows [Sum w, Sum w*cnt,
+    # accumulate into tallies.pmc_stats rows [Sum w, Sum w*cnt,
     # Sum w*len, Sum w*hg] per detector.  0 = off.  Replaces the
     # reference's dead AdaLIPO explore/exploit loop
     # (kernelsMod.f90:1663-1738) with a differentiable estimator.
@@ -251,7 +252,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     respawn = jnp.logical_and(dead, rank < budget)
     n_respawn = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), budget)
 
-    if cfg.escape_shape[0] > 0 and cfg.inverse_prim == 0:
+    if cfg.escape_shape[0] > 0:
         # sid depends on rank below; compute a provisional sid for source
         # position selection using the same formula
         per_voxel0 = jnp.maximum(nphotons // cfg.escape_shape[0], 1)
@@ -301,7 +302,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         hist_n = jnp.where(respawn, 1, hist_n)
 
     sid = st.sid
-    n_src = cfg.escape_shape[0] if cfg.inverse_prim == 0 else 0
+    n_src = cfg.escape_shape[0]
     if n_src > 0:
         # photon index -> source voxel, equal budget per voxel
         per_voxel = jnp.maximum(nphotons // n_src, 1)
@@ -507,28 +508,27 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # inttau2.f90:195-200) -------------------------------------------------
     bank = carry.bank
     escape_tot = tl.escape_tot
+    pmc_stats = tl.pmc_stats
     in_inverse = layer == cfg.inverse_prim
     if bank is not None:
         seg_len_all = jnp.where(jnp.logical_and(alive, need_seg),
                                 seg_rem, 0.0)
-        if cfg.escape_shape[0] > 0 and cfg.inverse_prim == 0:
-            bank, hitw, _ = record_hits(
+        want_matrix = (cfg.escape_shape[0] > 0 or cfg.inverse_prim > 0
+                       or (cfg.history_len > 0 and cfg.max_tracks > 0))
+        hitw = None
+        if want_matrix:
+            bank, hitw, hitt = record_hits(
                 bank, pos, direction, seg_len_all,
                 jnp.where(alive, weight, 0.0), want_hit_matrix=True,
             )
-            if hitw is not None:
+            if hitw is not None and cfg.escape_shape[0] > 0:
                 ndect = cfg.escape_shape[1]
                 flat = (sid[:, None] * ndect
                         + jnp.arange(ndect)[None, :])
                 escape_tot = escape_tot.reshape(-1).at[
                     flat.reshape(-1)
                 ].add(hitw.reshape(-1)).reshape(escape_tot.shape)
-        elif cfg.inverse_prim > 0:
-            bank, hitw, hitt = record_hits(
-                bank, pos, direction, seg_len_all,
-                jnp.where(alive, weight, 0.0), want_hit_matrix=True,
-            )
-            if hitw is not None:
+            if hitw is not None and cfg.inverse_prim > 0:
                 # path length in the inverse prim at the hit point
                 len_at_hit = pmc_len[:, None] + jnp.where(
                     in_inverse[:, None], hitt, 0.0
@@ -539,7 +539,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                      hitw * len_at_hit,
                      hitw * pmc_hg[:, None]], axis=-1,
                 )  # [B, ndect, 4]
-                escape_tot = escape_tot + jnp.sum(stats, axis=0)
+                pmc_stats = pmc_stats + jnp.sum(stats, axis=0)
         else:
             bank = record_hits(bank, pos, direction, seg_len_all,
                                jnp.where(alive, weight, 0.0))
@@ -547,15 +547,11 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     track_count = tl.track_count
     if cfg.history_len > 0 and bank is not None and cfg.max_tracks > 0:
         # flush paths of lanes whose segment hit any detector
-        # (reference history%write on hit, detector_base.f90:158-160)
+        # (reference history%write on hit, detector_base.f90:158-160);
+        # reuses the hit matrix of the single record_hits call above
         hits_any = jnp.zeros((B,), bool)
-        _, hw, _ = record_hits(
-            carry.bank, pos, direction,
-            jnp.where(jnp.logical_and(alive, need_seg), seg_rem, 0.0),
-            jnp.where(alive, weight, 0.0), want_hit_matrix=True,
-        )
-        if hw is not None:
-            hits_any = jnp.any(hw > 0.0, axis=-1)
+        if hitw is not None:
+            hits_any = jnp.any(hitw > 0.0, axis=-1)
         slot = track_count + jnp.cumsum(hits_any.astype(jnp.int32)) - 1
         ok = jnp.logical_and(hits_any, slot < cfg.max_tracks)
         safe_slot = jnp.where(ok, slot, cfg.max_tracks - 1)
@@ -778,7 +774,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     new_tallies = Tallies(
         jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,
         mom_pos=mom_pos, mom_pos2=mom_pos2, escape_tot=escape_tot,
-        tracks=tracks, track_count=track_count,
+        pmc_stats=pmc_stats, tracks=tracks, track_count=track_count,
         phasor_re=phasor_re, phasor_im=phasor_im, perf=perf,
     )
     return SimCarry(
@@ -793,13 +789,17 @@ def init_carry(grid: CartGrid, cfg: TransportConfig, bank=None,
     # the caller's detector arrays survive
     if bank is not None:
         bank = jax.tree_util.tree_map(jnp.array, bank)
+    n_dect = bank.n_detectors if bank is not None else 0
     return SimCarry(
         state=_init_lanes(cfg.n_lanes, dtype,
                           history_len=cfg.history_len),
         tallies=zero_tallies(grid, dtype, escape_shape=cfg.escape_shape,
                              history_shape=(cfg.max_tracks,
                                             max(cfg.history_len, 1)),
-                             phasor=cfg.record_phasor),
+                             phasor=cfg.record_phasor,
+                             pmc_shape=(
+                                 n_dect if cfg.inverse_prim > 0 else 0, 4
+                             )),
         bank=bank,
         launched=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),

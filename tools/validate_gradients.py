@@ -1,0 +1,88 @@
+"""High-statistics gradient validation vs finite differences (TPU).
+
+BASELINE.md asks gradients (mus, mua, g, n, SDF params) to match finite
+differences.  The pMC scores (mus, mua, g) are likelihood-ratio
+derivatives -- exact in expectation; n and shape derivatives use
+common-random-number central differences.  This tool measures the
+agreement at photon counts a CPU test cannot afford: the FD reference is
+averaged over several independent seeds so its own Monte Carlo error is
+driven below the comparison tolerance.
+
+Usage:  python tools/validate_gradients.py [-n 1000000] [-s 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-n", type=int, default=1_000_000)
+    p.add_argument("-s", type=int, default=8, help="FD seeds to average")
+    p.add_argument("--lanes", type=int, default=32768)
+    p.add_argument("--config", default="res/inverse_test.toml")
+    args = p.parse_args()
+
+    from rsmcrt_tpu.inverse import (
+        _forward, _prim_group_slot, _set_prim_optics, _set_prim_shape,
+        detector_gradients,
+    )
+
+    res = detector_gradients(args.config, nphotons=args.n,
+                             n_lanes=args.lanes, seed=3)
+    parsed, scene, cfg, pi = (res["parsed"], res["scene"], res["cfg"],
+                              res["prim_index"])
+    i = pi + 1
+    t = scene.tables
+    base = dict(mus=float(t.mus[i]), mua=float(t.mua[i]),
+                g=float(t.hgg[i]), n=float(t.n[i]))
+    g_slot, m_slot = _prim_group_slot(scene, pi)
+    base["radius"] = float(
+        np.asarray(scene.group_params[g_slot]["radius"])[m_slot]
+    )
+
+    def run(th, seed):
+        sc = _set_prim_optics(scene, pi, th["mus"], th["mua"], th["g"],
+                              th["n"])
+        sc = _set_prim_shape(sc, pi, "radius", th["radius"])
+        tot, _, n = _forward(parsed, sc, cfg, seed, inverse_prim=i)
+        return tot.astype(np.float64), n
+
+    def fd(param, h, seeds):
+        vals = []
+        for s in seeds:
+            hi, n_hi = run({**base, param: base[param] + h}, s)
+            lo, n_lo = run({**base, param: base[param] - h}, s)
+            vals.append((hi / n_hi - lo / n_lo) / (2 * h))
+        v = np.stack(vals)
+        return v.mean(0), v.std(0) / np.sqrt(len(seeds))
+
+    seeds = [101 + 7 * k for k in range(args.s)]
+    N = res["launched"]
+    print(f"photons/run: {N}, FD seeds: {len(seeds)}")
+    print(f"{'param':8s} {'estimator':>12s} {'FD':>12s} {'FD sem':>10s} "
+          f"{'rel diff':>9s}")
+    for param, h, key in (("mua", 0.05, "dT_dmua"),
+                          ("mus", 0.25, "dT_dmus"),
+                          ("g", 0.025, "dT_dg")):
+        est = float(res[key][0]) / N
+        fdm, sem = fd(param, h, seeds)
+        rel = (est - fdm[0]) / abs(fdm[0])
+        print(f"{param:8s} {est:12.5f} {fdm[0]:12.5f} {sem[0]:10.5f} "
+              f"{rel:+9.4f}")
+
+    # n and radius: the estimator IS a CRN difference; validate h- and
+    # seed-independence (two h's, independent seed sets)
+    for param, h1, h2 in (("n", 0.02, 0.04), ("radius", 0.02, 0.04)):
+        d1, s1 = fd(param, h1, seeds)
+        d2, s2 = fd(param, h2, [s + 1000 for s in seeds])
+        rel = (d1[0] - d2[0]) / abs(d2[0])
+        print(f"{param:8s} {d1[0]:12.5f} {d2[0]:12.5f} "
+              f"{max(s1[0], s2[0]):10.5f} {rel:+9.4f}")
+
+
+if __name__ == "__main__":
+    main()
