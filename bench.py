@@ -12,6 +12,7 @@ centre, 200^3 fluence grid (res/sphere.toml).
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -37,6 +38,54 @@ def bench_case(dtype=None):
     grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
     src = build_source("point", position=[0.0, 0.0, 0.0])
     return scene, grid, src
+
+
+def main_sharded():
+    """Photon-sharded bench over every visible device (watchdog-safe
+    chunked driver; the reference's MPI analogue).  Reports aggregate and
+    per-chip photons/s -- the BASELINE.md "1 chip / 1 host / >=2 hosts"
+    measurement path; on the virtual CPU mesh it exercises the same
+    program the driver dryrun compiles."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rsmcrt_tpu.parallel.mesh import simulate_sharded_chunked
+    from rsmcrt_tpu.transport.engine import TransportConfig
+
+    scene, grid, src = bench_case()
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh = Mesh(np.array(devices), ("dp",))
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    lanes = 32768 if on_tpu else 512
+    nphotons = (1_000_000 if on_tpu else 2_000) * n_dev
+    chunk = 96
+    cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
+                          dda_substeps=16)
+
+    # warmup compiles the chunk program (same shapes, traced budget)
+    simulate_sharded_chunked(scene, src, grid, jax.random.key(0), cfg,
+                             mesh=mesh, chunk_steps=chunk,
+                             nphotons=max(lanes // 8, 1) * n_dev)
+
+    t0 = time.perf_counter()
+    tallies, _, launched, steps = simulate_sharded_chunked(
+        scene, src, grid, jax.random.key(1), cfg, mesh=mesh,
+        chunk_steps=chunk,
+    )
+    jax.block_until_ready(tallies.jmean)
+    float(jnp.sum(tallies.nscatt))  # force a host read (axon gotcha)
+    dt = time.perf_counter() - t0
+
+    value = int(launched) / dt
+    print(json.dumps({
+        "metric": f"photons_per_second_sphere_scene_{n_dev}dev_sharded",
+        "value": round(value, 1),
+        "unit": "photons/s",
+        "per_device": round(value / n_dev, 1),
+        "n_devices": n_dev,
+        "vs_baseline": round(value / (n_dev * PER_CHIP_TARGET), 6),
+    }))
 
 
 def main():
@@ -76,4 +125,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sharded", action="store_true",
+                    help="photon-shard over all visible devices")
+    if ap.parse_args().sharded:
+        main_sharded()
+    else:
+        main()

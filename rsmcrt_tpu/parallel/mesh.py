@@ -32,8 +32,32 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..transport.engine import (TransportConfig, _init_lanes, SimCarry,
-                                _run_steps, init_carry, transport_step)
+                                _run_steps_impl, init_carry,
+                                transport_step)
 from ..tally import zero_tallies
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh"),
+         donate_argnames=("carry",))
+def _chunk_sharded(scene, source, grid, keys, carry,
+                   cfg: TransportConfig, n_steps: int, per_dev,
+                   mesh: Mesh):
+    """One bounded-step chunk on every mesh device via shard_map (module-
+    level jit: re-invocations retrace nothing; explicit sharding avoids
+    GSPMD guessing around the vmapped while_loop)."""
+
+    def worker(scene, source, grid, k, c, per_dev):
+        # local shapes carry a leading per-device axis of size 1
+        return jax.vmap(
+            lambda kk, cc: _run_steps_impl(scene, source, grid, kk, cc,
+                                           cfg, n_steps, per_dev)
+        )(k, c)
+
+    return shard_map(worker, mesh=mesh,
+                     in_specs=(P(), P(), P(), P("dp"), P("dp"), P()),
+                     out_specs=P("dp"))(
+        scene, source, grid, keys, carry, jnp.asarray(per_dev, jnp.int32)
+    )
 
 
 def make_mesh(devices=None, axis: str = "dp") -> Mesh:
@@ -123,21 +147,27 @@ def simulate_sharded(scene, source, grid, key, cfg: TransportConfig,
 
 def simulate_sharded_chunked(scene, source, grid, key, cfg: TransportConfig,
                              bank=None, mesh: Mesh | None = None,
-                             chunk_steps: int = 512, progress=None):
+                             chunk_steps: int = 512, progress=None,
+                             nphotons=None):
     """Chunked multi-device simulation: per-device carries ride a leading
     mesh axis (sharded with ``P('dp')``), a vmapped bounded-step chunk runs
     on every device, and the host loops until all devices finish -- the
     multi-chip version of the chunked single-device driver (long single
     executions trip device watchdogs).  Tallies/bins are summed across
     devices at the end (the reference's mpi_reduce moment,
-    kernelsMod.f90:2351-2357)."""
+    kernelsMod.f90:2351-2357).
+
+    ``nphotons`` overrides the config budget without changing the compiled
+    program (the budget is a traced scalar), so a small warmup call
+    compiles everything a timed run will execute."""
     from jax.sharding import NamedSharding
 
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), ("dp",))
     n_dev = int(np.prod(mesh.devices.shape))
-    per_dev = math.ceil(cfg.nphotons / n_dev)
-    dev_cfg = replace(cfg, nphotons=per_dev)
+    n_target = int(cfg.nphotons if nphotons is None else nphotons)
+    per_dev = math.ceil(n_target / n_dev)
+    dev_cfg = cfg  # budget rides the traced nphotons arg below
 
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(n_dev)
@@ -154,20 +184,13 @@ def simulate_sharded_chunked(scene, source, grid, key, cfg: TransportConfig,
     carry = jax.device_put(carry, shard)
     keys = jax.device_put(keys, shard)
 
-    @partial(jax.jit, static_argnames=("n_steps",),
-             donate_argnames=("carry",))
-    def chunk(keys, carry, n_steps):
-        return jax.vmap(
-            lambda k, c: _run_steps(scene, source, grid, k, c, dev_cfg,
-                                    n_steps, per_dev)
-        )(keys, carry)
-
     while True:
-        carry = chunk(keys, carry, chunk_steps)
+        carry = _chunk_sharded(scene, source, grid, keys, carry, dev_cfg,
+                               chunk_steps, per_dev, mesh)
         launched = np.asarray(carry.launched)
         steps = np.asarray(carry.step)
         if progress is not None:
-            progress(int(launched.sum()), cfg.nphotons, int(steps.max()),
+            progress(int(launched.sum()), n_target, int(steps.max()),
                      carry)
         done = np.all(launched >= per_dev)
         if done and not bool(jnp.any(carry.state.alive)):

@@ -232,6 +232,9 @@ def _parse_svg_segments(svg_file: Path):
                 cmd = tok
                 i += 1
                 if cmd in "Zz":
+                    # close the subpath with an explicit segment
+                    if not np.allclose(pos, start):
+                        segments.append((pos.copy(), start.copy()))
                     pos = start.copy()
                 continue
             if cmd in ("M", "m"):
@@ -266,18 +269,32 @@ def _parse_svg_segments(svg_file: Path):
     return segments
 
 
-def setup_logo(svg_file: str | Path = "res/crest-simple.svg"):
-    """University crest from SVG segments, extruded
-    (reference: setupGeometry.f90:297-332 + res/svg_convert.py
-    normalisation constants)."""
-    maxx, maxy = 299.15545999999995, 368.92027
-    minx, miny = 194.75158, 197.11304
+def setup_logo(svg_file: str | Path = "res/logo.svg"):
+    """Logo scene: SVG line segments extruded into SDF slabs
+    (reference: setupGeometry.f90:297-332, which hard-requires a
+    generated include from res/svg_convert.py and error-stops without
+    it).  When fed the reference's crest the reference's normalisation
+    constants are used (maxx/maxy 299.155.., 368.920.., minx/miny
+    194.751.., 197.113.. from res/svg_convert.py); any other SVG is
+    auto-normalised from its own segment bounding box, so the shipped
+    original ``res/logo.svg`` runs from a fresh checkout."""
+    svg_file = Path(svg_file)
+    segments = _parse_svg_segments(svg_file)
+    if not segments:
+        raise ValueError(f"no line segments found in {svg_file}")
+    if svg_file.name == "crest-simple.svg":
+        maxx, maxy = 299.15545999999995, 368.92027
+        minx, miny = 194.75158, 197.11304
+    else:
+        pts = np.asarray([p for seg in segments for p in seg])
+        minx, miny = pts.min(axis=0)
+        maxx, maxy = pts.max(axis=0) - np.array([minx, miny])
     eps = 1e-5
 
     opt_seg = mono(10.0, 0.1, 0.9, 1.5)
     opt_box = mono(0.0, 0.0, 0.0, 1.0)
     prims = []
-    for p0, p1 in _parse_svg_segments(Path(svg_file)):
+    for p0, p1 in segments:
         x1 = (p0[0] - minx) / maxx - 0.5
         x2 = (p1[0] - minx) / maxx - 0.5
         y1 = (p0[1] - miny) / maxy - 0.5
@@ -295,7 +312,10 @@ def setup_logo(svg_file: str | Path = "res/crest-simple.svg"):
 def setup_simulation(geom_name: str, params: dict, res_dir="res"):
     """Scene registry (reference: src/setup.f90:33-60)."""
     if geom_name == "logo":
-        return setup_logo(Path(res_dir) / "crest-simple.svg")
+        # the reference's crest when present, else the shipped original
+        crest = Path(res_dir) / "crest-simple.svg"
+        return setup_logo(crest if crest.exists()
+                          else Path(res_dir) / "logo.svg")
     if geom_name == "omg":
         return setup_omg_sdf()
     if geom_name == "scat_test":

@@ -85,6 +85,15 @@ class TransportConfig:
     record_emission: bool = False
     record_moments: bool = False
     max_bounces: int = 1000
+    # opt-in UNBIASED straggler mitigation: past this many reflections a
+    # photon plays weight-preserving Russian roulette at each further
+    # reflection (survive with prob roulette_chance -> weight /= chance).
+    # The reference instead hard-kills at 1000 bounces (inttau2.f90:313),
+    # which is biased AND lets TIR-trapped photons in pure-refractive
+    # scenes serialise the whole wavefront (the 50-sphere cliff).
+    # 0 = off (reference-parity default).
+    roulette_bounces: int = 0
+    roulette_chance: float = 0.1
     max_steps: int = 2_000_000
     # voxel-wall intervals deposited per megastep before re-running
     # segment analysis (8 measured best on v5e with the closed-form DDA)
@@ -410,6 +419,19 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     bounces = bounces + reflecting.astype(jnp.int32)
     # reference caps reflections at 1000 (inttau2.f90:313-315)
     overbounced = jnp.logical_and(reflecting, bounces > cfg.max_bounces)
+    if cfg.roulette_bounces > 0:
+        # bounce-indexed Russian roulette: unbiased kill of TIR-trapped
+        # lanes (reuses the roulette uniform; a lane cannot reflect and
+        # reach an interaction in the same megastep)
+        chance = jnp.asarray(cfg.roulette_chance, dtype)
+        trapped = jnp.logical_and(reflecting,
+                                  bounces > cfg.roulette_bounces)
+        survive_rr = jnp.logical_and(trapped, u[:, _U_ROULETTE] < chance)
+        weight = jnp.where(survive_rr, weight / chance, weight)
+        overbounced = jnp.logical_or(
+            overbounced,
+            jnp.logical_and(trapped, jnp.logical_not(survive_rr)),
+        )
 
     # --- segment selection -----------------------------------------------
     # The segment of an interior lane ends at min(optical-depth distance,
@@ -679,12 +701,15 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     absorb = tl.absorb
     nscatt = tl.nscatt
     if not cfg.survival_bias:
-        # reference noBiasPropagation (kernelsMod.f90:1958-1974)
+        # reference noBiasPropagation (kernelsMod.f90:1958-1974); the
+        # deposit is the lane weight (identically 1.0 = the reference's
+        # recordWeight(1.0) unless bounce roulette re-weighted the lane)
         do_scatter = jnp.logical_and(interact, u[:, _U_ALBEDO] < albedo)
         do_absorb = jnp.logical_and(interact,
                                     jnp.logical_not(do_scatter))
         absorb = absorb.at[vox_now].add(
-            jnp.where(jnp.logical_and(do_absorb, vox_now_valid), 1.0, 0.0)
+            jnp.where(jnp.logical_and(do_absorb, vox_now_valid),
+                      weight, 0.0)
         )
         died_interact = do_absorb
     else:
@@ -806,13 +831,11 @@ def init_carry(grid: CartGrid, cfg: TransportConfig, bank=None,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"),
-         donate_argnames=("carry",))
-def _run_steps(scene, source, grid, key, carry, cfg: TransportConfig,
-               n_steps: int, nphotons=None):
-    """Advance the wavefront a bounded number of megasteps.  A while_loop
-    with early exit runs inside; the host loops over bounded chunks to stay
-    under device-execution watchdogs, report progress, and checkpoint."""
+def _run_steps_impl(scene, source, grid, key, carry,
+                    cfg: TransportConfig, n_steps: int, nphotons=None):
+    """Advance the wavefront a bounded number of megasteps (a while_loop
+    with early exit).  Unjitted body, shared by the single-device and
+    sharded drivers."""
     if nphotons is None:
         nphotons = cfg.nphotons
     nphotons = jnp.asarray(nphotons, jnp.int32)
@@ -829,6 +852,16 @@ def _run_steps(scene, source, grid, key, carry, cfg: TransportConfig,
         return transport_step(c, scene, source, grid, key, cfg, nphotons)
 
     return jax.lax.while_loop(cond, body, carry)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("carry",))
+def _run_steps(scene, source, grid, key, carry, cfg: TransportConfig,
+               n_steps: int, nphotons=None):
+    """Jitted bounded-step chunk; the host loops over chunks to stay
+    under device-execution watchdogs, report progress, and checkpoint."""
+    return _run_steps_impl(scene, source, grid, key, carry, cfg, n_steps,
+                           nphotons)
 
 
 def _compact_lanes(carry: SimCarry, new_B: int) -> SimCarry:

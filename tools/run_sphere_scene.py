@@ -13,7 +13,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def main(counts=(1, 5, 10, 25, 50), nphotons=100_000, cpu=False):
+def main(counts=(1, 5, 10, 25, 50), nphotons=100_000, cpu=False,
+         roulette=0):
     import jax
 
     if cpu:
@@ -40,7 +41,8 @@ def main(counts=(1, 5, 10, 25, 50), nphotons=100_000, cpu=False):
                                 "musb": 0.0, "muab": 0.01,
                                 "musc": 0.0, "muac": 0.01, "hgga": 0.7})
         )
-        cfg = TransportConfig(nphotons=n, n_lanes=B, dda_substeps=16)
+        cfg = TransportConfig(nphotons=n, n_lanes=B, dda_substeps=16,
+                              roulette_bounces=roulette)
         warmup(prims, src, grid, jax.random.key(0), cfg, chunk_steps=96,
                min_lanes=256)
         t0 = time.perf_counter()
@@ -63,4 +65,9 @@ if __name__ == "__main__":
     cpu = "--cpu" in sys.argv
     n = int(sys.argv[sys.argv.index("-n") + 1]) if "-n" in sys.argv \
         else 100_000
-    main(nphotons=n, cpu=cpu)
+    rr = (int(sys.argv[sys.argv.index("--roulette") + 1])
+          if "--roulette" in sys.argv else 0)
+    counts = (tuple(int(c) for c in
+                    sys.argv[sys.argv.index("--counts") + 1].split(","))
+              if "--counts" in sys.argv else (1, 5, 10, 25, 50))
+    main(counts=counts, nphotons=n, cpu=cpu, roulette=rr)
