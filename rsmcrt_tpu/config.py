@@ -412,12 +412,20 @@ def _parse_detectors(cfg: dict, settings: Settings):
         jnp.float32,
     )
 
+    def nbins_of(rows, default):
+        """Per-detector bin counts (reference detectors each carry their
+        own nbins, detectors.f90:107-210); the family data array pads to
+        the max."""
+        per = [int(r.get("nbins", default)) for r in rows]
+        return max(per), jnp.asarray(per, jnp.int32)
+
     circle = annulus = fibre = camera = None
     rows = families["circle"]
     if rows:
-        nbins = int(rows[0].get("nbins", 100))
+        nbins, nbins_arr = nbins_of(rows, 100)
         radius = f32(rows, "radius", 1.0)
-        bw = jnp.where(nbins == 0, 1.0, radius / max(nbins, 1))
+        bw = jnp.where(nbins_arr == 0, 1.0,
+                       radius / jnp.maximum(nbins_arr, 1))
         dirs = vec(rows, "direction", [0.0, 0.0, -1.0])
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         circle = CircleDetectors(
@@ -427,26 +435,31 @@ def _parse_detectors(cfg: dict, settings: Settings):
             bin_wid=bw,
             data=jnp.zeros((len(rows), nbins + 1), jnp.float32),
             nbins=nbins,
+            nbins_arr=nbins_arr,
         )
     rows = families["annulus"]
     if rows:
-        nbins = int(rows[0].get("nbins", 100))
+        nbins, nbins_arr = nbins_of(rows, 100)
         r1 = f32(rows, "radius1", 0.1)
         r2 = f32(rows, "radius2", 0.2)
         if bool(jnp.any(r2 <= r1)):
             raise ConfigError("Radii are invalid: expected radius2 > radius1")
+        dirs = vec(rows, "direction", [0.0, 0.0, -1.0])
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         annulus = AnnulusDetectors(
             pos=vec(rows, "position", None),
-            dir=vec(rows, "direction", [0.0, 0.0, -1.0]),
+            dir=dirs,
             r1=r1,
             r2=r2,
-            bin_wid=jnp.where(nbins == 0, 1.0, (r2 - r1) / max(nbins, 1)),
+            bin_wid=jnp.where(nbins_arr == 0, 1.0,
+                              (r2 - r1) / jnp.maximum(nbins_arr, 1)),
             data=jnp.zeros((len(rows), nbins + 1), jnp.float32),
             nbins=nbins,
+            nbins_arr=nbins_arr,
         )
     rows = families["fibre"]
     if rows:
-        nbins = int(rows[0].get("nbins", 1))
+        nbins, nbins_arr = nbins_of(rows, 1)
         fl1 = f32(rows, "focalLength1", 1.0)
         fl2 = f32(rows, "focalLength2", 1.0)
         f1a = f32(rows, "f1Aperture", 1.0)
@@ -480,13 +493,15 @@ def _parse_detectors(cfg: dict, settings: Settings):
                  for r in rows], jnp.float32),
             acceptAngle=f32(rows, "acceptanceAngle", 90.0),
             coreDiameter=core,
-            bin_wid=jnp.where(nbins == 0, 1.0, core / 2.0 / max(nbins, 1)),
+            bin_wid=jnp.where(nbins_arr == 0, 1.0,
+                              core / 2.0 / jnp.maximum(nbins_arr, 1)),
             data=jnp.zeros((len(rows), nbins + 1), jnp.float32),
             nbins=nbins,
+            nbins_arr=nbins_arr,
         )
     rows = families["camera"]
     if rows:
-        nbins = int(rows[0].get("nbins", 100))
+        nbins, nbins_arr = nbins_of(rows, 100)
         maxval = f32(rows, "maxval", 100.0)
         p1 = vec(rows, "p1", [-1.0, -1.0, -1.0])
         p2 = vec(rows, "p2", [2.0, 0.0, 0.0])
@@ -502,10 +517,11 @@ def _parse_detectors(cfg: dict, settings: Settings):
             e2=e2,
             width=jnp.linalg.norm(e1, axis=-1),
             height=jnp.linalg.norm(e2, axis=-1),
-            bin_wid_x=maxval / (nbins + 1),
-            bin_wid_y=maxval / (nbins + 1),
+            bin_wid_x=maxval / (nbins_arr + 1),
+            bin_wid_y=maxval / (nbins_arr + 1),
             data=jnp.zeros((len(rows), nbins + 1, nbins + 1), jnp.float32),
             nbins=nbins,
+            nbins_arr=nbins_arr,
         )
 
     return DetectorBank(

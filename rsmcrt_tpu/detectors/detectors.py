@@ -122,6 +122,10 @@ class CircleDetectors:
     bin_wid: jnp.ndarray  # [M]
     data: jnp.ndarray  # [M, nbins+1]
     nbins: int = field(metadata=dict(static=True))
+    # per-detector bin counts (<= nbins, which pads the family); None
+    # means every member uses nbins (reference detectors each carry their
+    # own nbins, detectors.f90:107-210)
+    nbins_arr: jnp.ndarray = None
 
     def check_hit(self, o, d, seg_len):
         """o,d [B,3]; seg_len [B] -> (hit [B,M], value [B,M])."""
@@ -145,6 +149,7 @@ class AnnulusDetectors:
     bin_wid: jnp.ndarray
     data: jnp.ndarray
     nbins: int = field(metadata=dict(static=True))
+    nbins_arr: jnp.ndarray = None  # per-detector bin counts
 
     def check_hit(self, o, d, seg_len):
         hit1, _, _ = intersect_circle(
@@ -180,6 +185,7 @@ class FibreDetectors:
     bin_wid: jnp.ndarray
     data: jnp.ndarray
     nbins: int = field(metadata=dict(static=True))
+    nbins_arr: jnp.ndarray = None  # per-detector bin counts
 
     def check_hit(self, o, d, seg_len):
         lens_pos = self.pos + self.dir * self.frontOffset[:, None]
@@ -226,6 +232,7 @@ class CameraDetectors:
     bin_wid_y: jnp.ndarray
     data: jnp.ndarray  # [M, nbins+1, nbins+1]
     nbins: int = field(metadata=dict(static=True))
+    nbins_arr: jnp.ndarray = None  # per-detector bin counts
 
     def check_hit(self, o, d, seg_len):
         denom = _dot(self.n, d[:, None, :])
@@ -286,9 +293,11 @@ def record_hits(bank: DetectorBank, o, d, seg_len, weight,
     fam_ts = {}
 
     def bin_1d(dect, hit, value):
+        cap = (dect.nbins if dect.nbins_arr is None
+               else dect.nbins_arr[None, :])
         idx = jnp.minimum(
             jnp.round(value / dect.bin_wid).astype(jnp.int32),
-            dect.nbins,
+            cap,
         )
         idx = jnp.maximum(idx, 0)
         w = jnp.where(hit, weight[:, None], 0.0)
@@ -328,12 +337,14 @@ def record_hits(bank: DetectorBank, o, d, seg_len, weight,
         hit, (hx, hy) = camera.check_hit(o, d, seg_len)
         data = camera.data  # [M, nb, nb]
         nb = data.shape[1]
+        cap = (nb - 1 if camera.nbins_arr is None
+               else camera.nbins_arr[None, :])
         idx = jnp.minimum((hx / camera.bin_wid_x).astype(jnp.int32) + 1,
-                          nb - 1)
+                          cap)
         idy = jnp.minimum((hy / camera.bin_wid_y).astype(jnp.int32) + 1,
-                          nb - 1)
-        idx = jnp.where(idx < 1, nb - 1, idx) - 1
-        idy = jnp.where(idy < 1, nb - 1, idy) - 1
+                          cap)
+        idx = jnp.where(idx < 1, cap, idx) - 1
+        idy = jnp.where(idy < 1, cap, idy) - 1
         w = jnp.where(hit, 1.0, 0.0)  # camera adds 1, not weight
         fam_hits["camera"] = w
         denom_c = _dot(camera.n, d[:, None, :])

@@ -58,7 +58,10 @@ def _trapz_cdf(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     trapz_weights, piecewise.f90:159-167)."""
     seg = 0.5 * (y[1:] + y[:-1]) * np.diff(x)
     cdf = np.concatenate([[0.0], np.cumsum(seg)])
-    return cdf / cdf[-1]
+    # an all-zero table is legitimate for y-at-x lookup (spectral
+    # property curves); only guard the division so the degenerate CDF
+    # stays finite
+    return cdf / max(cdf[-1], 1e-300)
 
 
 def piecewise1d(array: np.ndarray) -> Piecewise1D:
@@ -107,6 +110,11 @@ def piecewise2d(cell_width: float, cell_height: float,
     (statistically identical to the reference's Morton-order CDF,
     piecewise.f90:193-244)."""
     image = np.asarray(image, dtype=np.float64)
+    if not np.any(image > 0.0):
+        raise ValueError(
+            "piecewise2d image has no positive intensity: cannot build a "
+            "sampling CDF (blank spectrum/SLM image)"
+        )
     flat = image.reshape(-1)
     cdf = np.cumsum(flat)
     cdf = cdf / cdf[-1]

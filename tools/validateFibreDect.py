@@ -76,7 +76,9 @@ def main(nphotons=200_000, cpu=False):
               f"(%diff {diff:.2f})")
         ok = ok and diff < 5.0
     print("PASS" if ok else "FAIL")
-    return ok
+    theory = np.array([0.5 * (1 - np.cos(np.arctan(a / focal)))
+                       for a in apertures])
+    return ok, tot, theory
 
 
 if __name__ == "__main__":
