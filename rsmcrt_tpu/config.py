@@ -58,6 +58,10 @@ class Settings:
     ckptfreq: int = 1_000_000
     loadckpt: bool = False
     ckptfile: str = "check.ckpt"
+    # opt-in unbiased bounce roulette (this framework's straggler
+    # mitigation; 0 = reference-parity off)
+    roulette_bounces: int = 0
+    roulette_chance: float = 0.1
     units: str = "cm"
     # escape-function symmetry (reference: parse.f90:188-340)
     symmetry_type: str = "none"
@@ -565,6 +569,10 @@ def _parse_simulation(cfg: dict, settings: Settings):
     settings.loadckpt = bool(table.get("load_checkpoint", False))
     settings.ckptfile = table.get("checkpoint_file", "check.ckpt")
     settings.ckptfreq = int(table.get("checkpoint_every_n", 1_000_000))
+    # opt-in unbiased straggler mitigation (no reference equivalent: the
+    # reference hard-kills at 1000 bounces, inttau2.f90:313-315)
+    settings.roulette_bounces = int(table.get("roulette_bounces", 0))
+    settings.roulette_chance = float(table.get("roulette_chance", 0.1))
 
 
 def _parse_symmetry(cfg: dict, settings: Settings):

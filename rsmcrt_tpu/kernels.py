@@ -99,6 +99,8 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
         max_steps=max_steps,
         history_len=64 if track_history else 0,
         max_tracks=4096 if track_history else 0,
+        roulette_bounces=st.roulette_bounces,
+        roulette_chance=st.roulette_chance,
     )
     key = jax.random.key(seed if seed is not None else st.iseed)
 

@@ -52,6 +52,18 @@ def test_golden_parse(tmp_path):
     assert st.grid.nxg == 64
     assert float(st.grid.xmax) == 1.5
     assert parsed.geometry["tau"] == 10.0
+    # roulette defaults off (reference-parity analog transport)
+    assert st.roulette_bounces == 0
+    assert st.roulette_chance == 0.1
+
+
+def test_roulette_knobs_parsed(tmp_path):
+    cfg = BASE.replace("iseed = 42",
+                       "iseed = 42\nroulette_bounces = 12\n"
+                       "roulette_chance = 0.2")
+    st = parse_params(write_cfg(tmp_path, cfg)).settings
+    assert st.roulette_bounces == 12
+    assert st.roulette_chance == 0.2
 
 
 def test_grid_defaults(tmp_path):
