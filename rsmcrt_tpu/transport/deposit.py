@@ -155,6 +155,232 @@ def deposit_delta(grid_shape, x, y, z, val, *, chunk: int = 2048,
     return out
 
 
+def _window_kernel(krow_ref, kcol_ref, v_ref, out_ref, krow_s, kcol_s, *,
+                   nx, ny_pad, nz, wx, wy, wz, dot_dtype):
+    """One chunk of packed deposits accumulated into the VMEM delta grid.
+
+    Deposits are identified by a packed key ``(ix << 20) | (iy << 10) | iz``
+    (``_BIG`` = dead/processed).  Each round anchors a ``wx x wy x wz``
+    window on the lexicographic-min remaining deposit (so that deposit is
+    always covered and the loop terminates), accumulates every remaining
+    in-window deposit with a two-stage one-hot contraction
+
+        accw[rxy, rz] = sum_c val_c [rxy_c == rxy][rz_c == rz]   (MXU)
+        acc[rxy, z]   = accw @ shift(bz)                          (MXU)
+
+    and adds ``acc`` into the full-z column at the window's xy offset
+    (the z placement rides the second matmul, keeping the dynamic-slice
+    write lane-aligned).  Rounds repeat until no deposit remains; with
+    Morton-sorted input a chunk's deposits share one or two windows.
+    """
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # per-chunk mutable remaining-set state (scratch persists across the
+    # sequential grid, so re-init for every chunk)
+    krow_s[:] = krow_ref[:]
+    kcol_s[:] = kcol_ref[:]
+    v = v_ref[:]  # [C, 1] f32
+
+    C = kcol_ref.shape[0]
+    RXY = wx * wy
+    iota_rxy = jax.lax.broadcasted_iota(jnp.int32, (C, RXY), 1)
+    iota_wz = jax.lax.broadcasted_iota(jnp.int32, (C, wz), 1)
+    iota_z_out = jax.lax.broadcasted_iota(jnp.int32, (wz, nz), 1)
+    iota_z_w = jax.lax.broadcasted_iota(jnp.int32, (wz, nz), 0)
+
+    def decode(k):
+        return (jax.lax.shift_right_logical(k, 20),
+                jax.lax.shift_right_logical(k, 10) & 1023,
+                k & 1023)
+
+    def tile_round(k0):
+        rx, ry, rz = decode(k0)
+        bx = jnp.clip(rx - wx // 2, 0, nx - wx)
+        # y is the sublane dim of the out block: keep the offset 8-aligned
+        # (ny_pad and wy are multiples of 8, so the clamp range is aligned)
+        by = jnp.clip(ry - wy // 2, 0, ny_pad - wy) & ~7
+        by = pl.multiple_of(by, 8)
+        bz = jnp.clip(rz - wz // 2, 0, nz - wz)
+
+        kc = kcol_s[:]
+        ix, iy, iz = decode(kc)  # _BIG decodes out-of-range -> never in-win
+        relx = ix - bx
+        rely = iy - by
+        relz = iz - bz
+        inwin = jnp.logical_and(
+            jnp.logical_and(
+                jnp.logical_and(relx >= 0, relx < wx),
+                jnp.logical_and(rely >= 0, rely < wy),
+            ),
+            jnp.logical_and(relz >= 0, relz < wz),
+        )  # [C, 1]
+        rxy = relx * wy + rely
+        ohi = jnp.where(
+            jnp.logical_and(inwin, rxy == iota_rxy), v, 0.0
+        ).astype(dot_dtype)  # [C, RXY]
+        olo = jnp.where(
+            jnp.logical_and(inwin, relz == iota_wz), 1.0, 0.0
+        ).astype(dot_dtype)  # [C, wz]
+        accw = jax.lax.dot_general(
+            ohi, olo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RXY, wz]
+        shift = (iota_z_out == bz + iota_z_w).astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            accw, shift, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RXY, nz]
+        cur = out_ref[pl.ds(bx, wx), pl.ds(by, wy), :]
+        out_ref[pl.ds(bx, wx), pl.ds(by, wy), :] = \
+            cur + acc.reshape(wx, wy, nz)
+
+        kcol_s[:] = jnp.where(inwin, _BIG, kc)
+        kr = krow_s[:]
+        ixr, iyr, izr = decode(kr)
+        inwin_r = jnp.logical_and(
+            jnp.logical_and(
+                jnp.logical_and(ixr - bx >= 0, ixr - bx < wx),
+                jnp.logical_and(iyr - by >= 0, iyr - by < wy),
+            ),
+            jnp.logical_and(izr - bz >= 0, izr - bz < wz),
+        )
+        krow_s[:] = jnp.where(inwin_r, _BIG, kr)
+        return jnp.min(krow_s[:])
+
+    k0 = jnp.min(krow_s[:])
+    jax.lax.while_loop(lambda k: k < _BIG, tile_round, k0)
+
+
+def pack_deposit_key(ix, iy, iz, live) -> jnp.ndarray:
+    """Pack int32 voxel coordinates into the window kernel's deposit key
+    (lexicographic order = x-major); dead deposits get ``_BIG``."""
+    key = (
+        jnp.left_shift(ix, 20)
+        | jnp.left_shift(iy, 10)
+        | iz
+    )
+    return jnp.where(live, key, _BIG).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_shape", "chunk", "window", "interpret",
+                     "dot_dtype"),
+)
+def deposit_window_packed(grid_shape, keys, val, *, chunk: int = 2048,
+                          window=(32, 32, 32), interpret: bool = False,
+                          dot_dtype=jnp.float32) -> jnp.ndarray:
+    """Accumulate N packed deposits into a fresh [nx, ny, nz] delta grid.
+
+    keys: [N] int32 from :func:`pack_deposit_key` (``_BIG`` = dead; the
+    caller should order rows so spatially-near deposits are adjacent --
+    e.g. lanes sorted by :func:`morton_key_3d`).
+    val:  [N] f32 deposit values (dead rows must also have val <= 0).
+
+    Replaces the reference's ``!$omp atomic`` voxel DDA accumulation
+    (src/inttau2.f90:408-445).  Unlike :func:`deposit_delta` (fixed
+    supertiles, full-z columns) the windows here follow the deposit
+    cloud in all three axes, so the per-deposit matmul work is ~25x
+    smaller on diffuse wavefronts.
+    """
+    nx, ny, nz = grid_shape
+    if max(nx, ny, nz) > 1024:
+        raise ValueError("grid dims must be <= 1024 for packed keys")
+    if chunk % 128:
+        raise ValueError(f"chunk={chunk} must be a multiple of 128")
+    wx, wy, wz = window
+    wx = min(wx, nx)
+    wy = min(wy, _round_up(ny, 8))
+    wz = min(wz, nz)
+    if wy % 8:
+        raise ValueError(f"wy={wy} must be a multiple of 8")
+    ny_pad = _round_up(ny, 8)
+
+    n = keys.shape[0]
+    nchunk = -(-n // chunk)
+    pad = nchunk * chunk - n
+    if pad:
+        keys = jnp.pad(keys, (0, pad), constant_values=_BIG)
+        val = jnp.pad(val, (0, pad))
+
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, nx=nx, ny_pad=ny_pad, nz=nz,
+                          wx=wx, wy=wy, wz=wz, dot_dtype=dot_dtype),
+        grid=(nchunk,),
+        in_specs=[
+            pl.BlockSpec((chunk // 128, 128), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nx, ny_pad, nz), lambda c: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nx, ny_pad, nz), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((chunk // 128, 128), jnp.int32),
+            pltpu.VMEM((chunk, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(120 * 2**20)
+        ),
+        interpret=interpret,
+    )(keys.reshape(-1, 128), keys.reshape(-1, 1), val.reshape(-1, 1))
+    if ny_pad != ny:
+        out = out[:, :ny, :]
+    return out
+
+
+def deposit_window_delta(grid_shape, x, y, z, val, *, chunk: int = 2048,
+                         window=(32, 32, 32), interpret: bool = False,
+                         dot_dtype=jnp.float32) -> jnp.ndarray:
+    """xyz-coordinate convenience wrapper over
+    :func:`deposit_window_packed` (same contract as
+    :func:`deposit_delta`)."""
+    keys = pack_deposit_key(x.astype(jnp.int32), y.astype(jnp.int32),
+                            z.astype(jnp.int32), val > 0.0)
+    return deposit_window_packed(grid_shape, keys, val, chunk=chunk,
+                                 window=window, interpret=interpret,
+                                 dot_dtype=dot_dtype)
+
+
+def morton_key_3d(ix: jnp.ndarray, iy: jnp.ndarray,
+                  iz: jnp.ndarray) -> jnp.ndarray:
+    """Interleave the low 10 bits of three int32 coordinate arrays into a
+    30-bit Morton (z-order) key; the lane sort key for
+    :func:`deposit_window_packed` chunk locality."""
+
+    def part1by2(a):
+        a = jnp.bitwise_and(a, 0x3FF)
+        a = jnp.bitwise_and(
+            jnp.bitwise_or(a, jnp.left_shift(a, 16)), 0x030000FF
+        )
+        a = jnp.bitwise_and(
+            jnp.bitwise_or(a, jnp.left_shift(a, 8)), 0x0300F00F
+        )
+        a = jnp.bitwise_and(
+            jnp.bitwise_or(a, jnp.left_shift(a, 4)), 0x030C30C3
+        )
+        a = jnp.bitwise_and(
+            jnp.bitwise_or(a, jnp.left_shift(a, 2)), 0x09249249
+        )
+        return a
+
+    ix = jnp.clip(ix, 0, 1023)
+    iy = jnp.clip(iy, 0, 1023)
+    iz = jnp.clip(iz, 0, 1023)
+    return (
+        part1by2(ix)
+        | jnp.left_shift(part1by2(iy), 1)
+        | jnp.left_shift(part1by2(iz), 2)
+    )
+
+
 def morton_key_xy(ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
     """Interleave the low 16 bits of two int32 coordinate arrays into a
     Morton (z-order) key.  Used to sort lanes so consecutive deposit
