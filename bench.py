@@ -61,7 +61,7 @@ def main_sharded():
     nphotons = (1_000_000 if on_tpu else 2_000) * n_dev
     chunk = 96
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=16)
+                          dda_substeps=24, chain_scatter=True)
 
     # warmup compiles the chunk program (same shapes, traced budget)
     simulate_sharded_chunked(scene, src, grid, jax.random.key(0), cfg,
@@ -101,7 +101,7 @@ def main():
     chunk = 96
     min_lanes = 64
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=16)
+                          dda_substeps=24, chain_scatter=True)
 
     # compile every program of the tail-shrink ladder before timing
     warmup(scene, src, grid, jax.random.key(0), cfg, chunk_steps=chunk,

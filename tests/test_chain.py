@@ -1,0 +1,111 @@
+"""In-line scatter chaining (engine._chained_dda) gates.
+
+Chaining changes the schedule (interactions consumed inside the DDA
+walk), not the physics: tallies must agree statistically with the plain
+walk, and unsupported configurations must fall back to the plain walk
+exactly (same RNG stream -> bitwise-identical tallies).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsmcrt_tpu.detectors.detectors import CircleDetectors, DetectorBank
+from rsmcrt_tpu.grid import cart_grid
+from rsmcrt_tpu.optics.properties import mono
+from rsmcrt_tpu.sdfs import scene as S
+from rsmcrt_tpu.sources.sources import build_source
+from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+
+
+def _sphere_case():
+    scene = S.build_scene([
+        S.sphere(1.0, mono(10.0, 0.1, 0.9, 1.38), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(50, 50, 50, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    return scene, grid, src
+
+
+def _run(scene, grid, src, key, **kw):
+    cfg = TransportConfig(nphotons=4000, n_lanes=512, dda_substeps=8,
+                          **kw)
+    return simulate(scene, src, grid, key, cfg, chunk_steps=256)
+
+
+def test_chained_matches_plain_statistically():
+    scene, grid, src = _sphere_case()
+    t0, _, n0, s0 = _run(scene, grid, src, jax.random.key(3))
+    t1, _, n1, s1 = _run(scene, grid, src, jax.random.key(3),
+                         chain_scatter=True)
+    assert int(n0) == int(n1) == 4000
+    # chaining consumes interactions in-loop: far fewer megasteps and
+    # segment analyses for the same photons
+    assert int(s1) < int(s0)
+    assert int(t1.perf[2]) < 0.5 * int(t0.perf[2])
+    # identical estimators -> tallies agree to MC noise
+    a = float(jnp.sum(t0.jmean)) / 4000
+    b = float(jnp.sum(t1.jmean)) / 4000
+    assert abs(a - b) / a < 0.05, (a, b)
+    na = float(t0.nscatt) / 4000
+    nb = float(t1.nscatt) / 4000
+    assert abs(na - nb) / na < 0.05, (na, nb)
+    ab_a = float(jnp.sum(t0.absorb))
+    ab_b = float(jnp.sum(t1.absorb))
+    sd = max(np.sqrt(ab_a), 1.0)
+    assert abs(ab_a - ab_b) < 5 * sd, (ab_a, ab_b)
+    # fluence profile (not just total): coarse radial histogram
+    pa = np.asarray(t0.jmean).reshape(50, 50, 50).sum(axis=(0, 1))
+    pb = np.asarray(t1.jmean).reshape(50, 50, 50).sum(axis=(0, 1))
+    denom = np.maximum(pa.sum(), 1.0)
+    assert np.abs(pa - pb).sum() / denom < 0.1
+
+
+def test_chain_flag_falls_back_exactly_with_detectors():
+    # a detector bank disables chaining: the flag must then be a no-op,
+    # i.e. the same program and RNG stream run -> bitwise-equal tallies
+    scene, grid, src = _sphere_case()
+    arr = lambda v: jnp.asarray(v, jnp.float32)
+    circ = CircleDetectors(
+        pos=arr([[0.0, 0.0, 1.5]]), dir=arr([[0.0, 0.0, -1.0]]),
+        radius=arr([1.0]), bin_wid=arr([1.0 / 8]),
+        data=jnp.zeros((1, 9), jnp.float32), nbins=8,
+    )
+    bank = DetectorBank(
+        circle=circ, annulus=None, fibre=None, camera=None,
+        target_values=jnp.full((1,), -1.0), order=(("circle", 0),),
+        ids=("d0",), layers=(2,),
+    )
+    cfg0 = TransportConfig(nphotons=1000, n_lanes=256, dda_substeps=8)
+    cfg1 = TransportConfig(nphotons=1000, n_lanes=256, dda_substeps=8,
+                           chain_scatter=True)
+    r0 = simulate(scene, src, grid, jax.random.key(5), cfg0, bank=bank,
+                  chunk_steps=256)
+    r1 = simulate(scene, src, grid, jax.random.key(5), cfg1, bank=bank,
+                  chunk_steps=256)
+    np.testing.assert_array_equal(np.asarray(r0[0].jmean),
+                                  np.asarray(r1[0].jmean))
+    np.testing.assert_array_equal(np.asarray(r0[1].circle.data),
+                                  np.asarray(r1[1].circle.data))
+    assert int(r0[3]) == int(r1[3])
+
+
+def test_chain_falls_back_exactly_on_nonanalytic_scene():
+    # torus has no closed-form raycast -> chaining must disable itself
+    scene = S.build_scene([
+        S.torus(0.5, 0.2, mono(5.0, 0.5, 0.0, 1.0), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(20, 20, 20, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.5, 0.0, 0.0])
+    cfg0 = TransportConfig(nphotons=500, n_lanes=128, dda_substeps=8)
+    cfg1 = TransportConfig(nphotons=500, n_lanes=128, dda_substeps=8,
+                           chain_scatter=True)
+    r0 = simulate(scene, src, grid, jax.random.key(2), cfg0,
+                  chunk_steps=256)
+    r1 = simulate(scene, src, grid, jax.random.key(2), cfg1,
+                  chunk_steps=256)
+    np.testing.assert_array_equal(np.asarray(r0[0].jmean),
+                                  np.asarray(r1[0].jmean))
+    assert int(r0[3]) == int(r1[3])

@@ -182,4 +182,5 @@ def test_morton_key_3d_orders_locally():
     iy = jnp.asarray([0, 0, 1, 0, 1], jnp.int32)
     iz = jnp.asarray([0, 0, 0, 1, 1], jnp.int32)
     k = morton_key_3d(ix, iy, iz)
-    assert list(np.asarray(k)) == [0, 1, 2, 4, 3]
+    # bit interleave x|y<<1|z<<2: (1,1,1) -> 0b111 = 7
+    assert list(np.asarray(k)) == [0, 1, 2, 4, 7]

@@ -24,7 +24,8 @@ from rsmcrt_tpu.transport.engine import TransportConfig, simulate
 
 
 @pytest.mark.slow
-def test_scat_test_nscatt():
+@pytest.mark.parametrize("chain", [False, True])
+def test_scat_test_nscatt(chain):
     # reference res/scat_test.toml + setup_scat_test (setupGeometry.f90:409)
     scene = S.build_scene([
         S.sphere(1.0, mono(10.0, 0.0, 0.0, 1.0), 1),
@@ -32,7 +33,8 @@ def test_scat_test_nscatt():
     ])
     grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
     src = build_source("point", position=[0.0, 0.0, 0.0])
-    cfg = TransportConfig(nphotons=20000, n_lanes=8192)
+    cfg = TransportConfig(nphotons=20000, n_lanes=8192,
+                          chain_scatter=chain)
     tallies, _, launched, _ = simulate(scene, src, grid,
                                        jax.random.key(1234), cfg)
     nscatt = float(tallies.nscatt) / int(launched)
@@ -42,7 +44,8 @@ def test_scat_test_nscatt():
 
 
 @pytest.mark.slow
-def test_scat_test2_moments():
+@pytest.mark.parametrize("chain", [False, True])
+def test_scat_test2_moments(chain):
     # reference res/scat_test2.toml + setup_scat_test2 + test_kernel
     scene = S.build_scene([
         S.box([200.0, 200.0, 200.0], mono(10.0, 1e-17, 0.9, 1.0), 2),
@@ -52,7 +55,7 @@ def test_scat_test2_moments():
                        direction=[0.0, 0.0, 1.0])
     cfg = TransportConfig(nphotons=100000, n_lanes=16384,
                           record_moments=True, max_scatter_order=4,
-                          max_steps=100000)
+                          max_steps=100000, chain_scatter=chain)
     tallies, _, launched, _ = simulate(scene, src, grid,
                                        jax.random.key(99), cfg)
     n = int(launched)
