@@ -97,7 +97,9 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 2048
-    nphotons = 2_000_000 if on_tpu else 4_000
+    # 4M budget: the straggler tail (one serial photon chain, fixed cost)
+    # amortises over the photon count
+    nphotons = 4_000_000 if on_tpu else 4_000
     chunk = 96
     min_lanes = 64
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
