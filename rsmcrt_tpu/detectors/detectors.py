@@ -244,9 +244,13 @@ class CameraDetectors:
         hit = (t >= 0.0) & (denom != 0.0)
         hit &= (proj1 > 0.0) & (proj1 < self.width)
         hit &= (proj2 > 0.0) & (proj2 < self.height)
-        # hit position for 2D binning (reference: detector_base.f90:222-227)
-        hx = o[:, None, 2] + t * d[:, None, 2] + self.pos[:, 0]
-        hy = o[:, None, 1] + t * d[:, None, 1] + self.pos[:, 1]
+        # 2D binning parity: the reference bins the SEGMENT START position
+        # (hitpoint%pos is the pre-move startPos, inttau2.f90:195-200), not
+        # the plane intersection point -- x = start.z + det.pos.x,
+        # y = start.y + det.pos.y (detector_base.f90:222-223).  Kept
+        # bug-for-bug; pinned by test_detectors.py camera goldens.
+        hx = o[:, None, 2] + self.pos[:, 0]
+        hy = o[:, None, 1] + self.pos[:, 1]
         return hit, (hx, hy)
 
 

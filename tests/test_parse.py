@@ -57,6 +57,24 @@ def test_golden_parse(tmp_path):
     assert st.roulette_chance == 0.1
 
 
+def test_display_settings_banner(tmp_path):
+    """Run-provenance banner (reference display_settings,
+    kernelsMod.f90:2441-2485): config echo with source/geometry/seed."""
+    from rsmcrt_tpu.kernels import display_settings
+
+    parsed = parse_params(write_cfg(tmp_path, BASE))
+    banner = display_settings(parsed, tmp_path / "test.toml")
+    assert "Settings" in banner
+    assert "Config file: test.toml" in banner
+    assert "Light source: point" in banner
+    assert "Light Source Position: [0, 0, 0]" in banner
+    assert "Geometry: scat_test" in banner
+    assert "Seed: 42" in banner
+    # every row is the reference's fixed 50-char boxed format
+    for line in banner.splitlines():
+        assert line.startswith("#") and line.endswith("#")
+
+
 def test_roulette_knobs_parsed(tmp_path):
     cfg = BASE.replace("iseed = 42",
                        "iseed = 42\nroulette_bounces = 12\n"
