@@ -19,6 +19,15 @@ def _length(v):
     return jnp.sqrt(jnp.sum(v * v, axis=-1))
 
 
+def _length_safe(v):
+    """``|v|`` with a finite gradient at v = 0 (where plain sqrt yields
+    NaN).  Used where the zero vector is a *reachable* evaluation point --
+    inside a box, on a cone axis -- so ``jax.grad`` of the SDF (surface
+    normals, inverse shape gradients) stays finite; the 1e-30 bias is far
+    below f32 resolution of any realistic distance."""
+    return jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-30)
+
+
 def _clamp(x, lo, hi):
     return jnp.clip(x, lo, hi)
 
@@ -32,7 +41,7 @@ def sd_box(p, half_lengths):
     """``half_lengths`` are the box half extents (the reference stores
     0.5*lengths at init, src/sdfs/sdfs.f90:433-461, eval :510-525)."""
     q = jnp.abs(p) - half_lengths
-    outside = _length(jnp.maximum(q, 0.0))
+    outside = _length_safe(jnp.maximum(q, 0.0))
     inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     return outside + inside
 
@@ -94,7 +103,7 @@ def sd_cone(p, a, b, ra, rb):
     baba = jnp.sum(ba * ba, axis=-1)
     papa = jnp.sum((p - a) * (p - a), axis=-1)
     paba = jnp.sum((p - a) * ba, axis=-1) / baba
-    x = jnp.sqrt(jnp.maximum(papa - baba * paba**2, 0.0))
+    x = jnp.sqrt(jnp.maximum(papa - baba * paba**2, 0.0) + 1e-30)
     cax = jnp.maximum(0.0, x - jnp.where(paba < 0.5, ra, rb))
     cay = jnp.abs(paba - 0.5) - 0.5
     k = rba**2 + baba

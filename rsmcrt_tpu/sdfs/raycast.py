@@ -269,3 +269,68 @@ def ray_bound(scene, pos, dirn):
     if best is None:
         return jnp.full(pos.shape[:-1], _INF, pos.dtype)
     return best
+
+
+def ray_bound_idx(scene, pos, dirn):
+    """Like :func:`ray_bound` but also returns WHICH analytic prim owns the
+    first crossing: ``(t [...], idx [...] int32)`` with ``idx`` in
+    concatenated-group order (the order :func:`surface_normal` consumes).
+    ``idx`` is 0 when nothing crosses (t = +inf)."""
+    best = jnp.full(pos.shape[:-1], _INF, pos.dtype)
+    bidx = jnp.zeros(pos.shape[:-1], jnp.int32)
+    offset = 0
+    for spec, params, size in zip(scene.specs, scene.group_params,
+                                  scene.group_sizes):
+        if spec.kind not in ANALYTIC_KINDS:
+            offset += size
+            continue
+        if size == 1:
+            single = jax.tree_util.tree_map(lambda a: a[0], params)
+            t = _ray_prim(spec, single, pos, dirn)
+            cand = jnp.full(pos.shape[:-1], offset, jnp.int32)
+        else:
+            ts = jax.vmap(
+                lambda prm: _ray_prim(spec, prm, pos, dirn), in_axes=0,
+                out_axes=-1,
+            )(params)
+            t = jnp.min(ts, axis=-1)
+            cand = (offset + jnp.argmin(ts, axis=-1)).astype(jnp.int32)
+        better = t < best
+        best = jnp.where(better, t, best)
+        bidx = jnp.where(better, cand, bidx)
+        offset += size
+    return best, bidx
+
+
+def surface_normal(scene, pos, idx):
+    """Exact outward-ish unit surface normal of the analytic prim ``idx``
+    (concatenated-group order, from :func:`ray_bound_idx`) at world points
+    ``pos [B, 3]`` -- the gradient of that prim's world-space SDF via
+    ``jax.grad`` (exact where the reference uses a tetrahedron finite
+    difference, src/sdfs/sdf_base.f90:166-190; sign conventions match
+    since both are SDF gradients)."""
+    from .scene import eval_spec
+
+    out = jnp.zeros_like(pos)
+    offset = 0
+    for spec, params, size in zip(scene.specs, scene.group_params,
+                                  scene.group_sizes):
+        if spec.kind not in ANALYTIC_KINDS:
+            offset += size
+            continue
+        def f(p, prm_single, spec=spec):
+            return eval_spec(spec, prm_single, p)
+
+        if size == 1:
+            single = jax.tree_util.tree_map(lambda a: a[0], params)
+            n = jax.vmap(jax.grad(f), in_axes=(0, None))(pos, single)
+        else:
+            member = jnp.clip(idx - offset, 0, size - 1)
+            prm = jax.tree_util.tree_map(lambda a: a[member], params)
+            n = jax.vmap(jax.grad(f))(pos, prm)
+        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / jnp.where(norm > 0.0, norm, 1.0)
+        sel = jnp.logical_and(idx >= offset, idx < offset + size)
+        out = jnp.where(sel[..., None], n, out)
+        offset += size
+    return out
