@@ -53,7 +53,7 @@ def ray_sphere(p, d, radius):
     b = jnp.sum(p * d, axis=-1)
     c = jnp.sum(p * p, axis=-1) - radius * radius
     disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
     t1 = -b - sq
     t2 = -b + sq
     miss = disc < 0.0
@@ -104,7 +104,7 @@ def _axis_decomp(p, d, a, b):
 def _side_roots(A, B, C):
     disc = B * B - A * C
     safeA = jnp.where(A == 0.0, 1.0, A)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
     t1 = (-B - sq) / safeA
     t2 = (-B + sq) / safeA
     bad = jnp.logical_or(disc < 0.0, A == 0.0)
@@ -158,7 +158,7 @@ def ray_capsule(p, d, a, b, r):
         bq = jnp.sum(pc * d, axis=-1)
         cq = jnp.sum(pc * pc, axis=-1) - r * r
         disc = bq * bq - cq
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
         miss = disc < 0.0
 
         def ok(t):
@@ -328,8 +328,9 @@ def surface_normal(scene, pos, idx):
             member = jnp.clip(idx - offset, 0, size - 1)
             prm = jax.tree_util.tree_map(lambda a: a[member], params)
             n = jax.vmap(jax.grad(f))(pos, prm)
-        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-        n = n / jnp.where(norm > 0.0, norm, 1.0)
+        # +1e-30: finite vjp at degenerate (zero-gradient) points
+        norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-30)
+        n = n / norm
         sel = jnp.logical_and(idx >= offset, idx < offset + size)
         out = jnp.where(sel[..., None], n, out)
         offset += size

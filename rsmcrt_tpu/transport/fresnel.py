@@ -17,11 +17,11 @@ def fresnel_coeff(incident: jnp.ndarray, normal: jnp.ndarray, n1, n2):
     """Unpolarised Fresnel reflection coefficient (reference:
     src/surfaces.f90:86-127).  Returns 1.0 on total internal reflection."""
     costt = jnp.clip(jnp.abs(_dot(incident, normal)), 0.0, 1.0)
-    sintt = jnp.sqrt(jnp.maximum(1.0 - costt * costt, 0.0))
+    sintt = jnp.sqrt(jnp.maximum(1.0 - costt * costt, 1e-30))
     sint2 = (n1 / n2) * sintt
     tir = sint2 > 1.0
     sint2c = jnp.minimum(sint2, 1.0)
-    cost2 = jnp.sqrt(jnp.maximum(1.0 - sint2c * sint2c, 0.0))
+    cost2 = jnp.sqrt(jnp.maximum(1.0 - sint2c * sint2c, 1e-30))
     denom1 = n1 * costt + n2 * cost2
     denom2 = n1 * cost2 + n2 * costt
     f1 = jnp.abs((n1 * costt - n2 * cost2) /
@@ -47,7 +47,7 @@ def refract(incident: jnp.ndarray, normal: jnp.ndarray, eta) -> jnp.ndarray:
     ntmp = jnp.where(c1[..., None] < 0.0, normal, -normal)
     c1 = jnp.abs(c1)
     eta = jnp.asarray(eta)
-    c2 = jnp.sqrt(jnp.maximum(1.0 - eta**2 * (1.0 - c1 * c1), 0.0))
+    c2 = jnp.sqrt(jnp.maximum(1.0 - eta**2 * (1.0 - c1 * c1), 1e-30))
     if eta.ndim == 0:
         etab = eta
     else:

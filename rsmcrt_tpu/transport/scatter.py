@@ -26,13 +26,13 @@ def scatter_direction(direction: jnp.ndarray, cost: jnp.ndarray,
     """Rotate ``direction [..., 3]`` by polar angle acos(cost) and azimuth
     ``phi`` (reference: src/photon.f90:1070-1102, including the
     near-perpendicular special cases at |nz| ~ 1)."""
-    sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+    sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 1e-30))
     cosp = jnp.cos(phi)
     sinp = jnp.sin(phi)
     nx, ny, nz = direction[..., 0], direction[..., 1], direction[..., 2]
 
     # general case
-    temp = jnp.sqrt(jnp.maximum(1.0 - nz * nz, 0.0))
+    temp = jnp.sqrt(jnp.maximum(1.0 - nz * nz, 1e-30))
     safe_t = jnp.where(temp > 0.0, temp, 1.0)
     uxx_g = sint * ((nx * nz * cosp - ny * sinp) / safe_t) + nx * cost
     uyy_g = sint * ((ny * nz * cosp + nx * sinp) / safe_t) + ny * cost
@@ -48,7 +48,7 @@ def scatter_direction(direction: jnp.ndarray, cost: jnp.ndarray,
     uzz = jnp.where(up, cost, jnp.where(down, -cost, uzz_g))
 
     out = jnp.stack([uxx, uyy, uzz], axis=-1)
-    norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True))
+    norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True) + 1e-30)
     return out / jnp.where(norm > 0.0, norm, 1.0)
 
 

@@ -62,24 +62,58 @@ def test_chained_matches_plain_statistically():
     assert np.abs(pa - pb).sum() / denom < 0.1
 
 
-def test_chain_flag_falls_back_exactly_with_detectors():
-    # a detector bank disables chaining: the flag must then be a no-op,
-    # i.e. the same program and RNG stream run -> bitwise-equal tallies
-    scene, grid, src = _sphere_case()
+def _circle_bank():
+    # inside the box (wall at z = 1) so segments actually cross it
     arr = lambda v: jnp.asarray(v, jnp.float32)
     circ = CircleDetectors(
-        pos=arr([[0.0, 0.0, 1.5]]), dir=arr([[0.0, 0.0, -1.0]]),
+        pos=arr([[0.0, 0.0, 0.8]]), dir=arr([[0.0, 0.0, -1.0]]),
         radius=arr([1.0]), bin_wid=arr([1.0 / 8]),
         data=jnp.zeros((1, 9), jnp.float32), nbins=8,
     )
-    bank = DetectorBank(
+    return DetectorBank(
         circle=circ, annulus=None, fibre=None, camera=None,
         target_values=jnp.full((1,), -1.0), order=(("circle", 0),),
         ids=("d0",), layers=(2,),
     )
-    cfg0 = TransportConfig(nphotons=1000, n_lanes=256, dda_substeps=8)
-    cfg1 = TransportConfig(nphotons=1000, n_lanes=256, dda_substeps=8,
+
+
+def test_chained_detectors_match_plain_statistically():
+    """Round 3: detector banks no longer disable chaining -- per-event
+    segments are tested inside the chained walk (VERDICT r2 next #2).
+    The binned totals must agree with the plain path statistically."""
+    from rsmcrt_tpu.detectors.detectors import totals
+
+    scene, grid, src = _sphere_case()
+    cfg0 = TransportConfig(nphotons=4000, n_lanes=512, dda_substeps=8)
+    cfg1 = TransportConfig(nphotons=4000, n_lanes=512, dda_substeps=8,
                            chain_scatter=True)
+    t0, b0, n0, s0 = simulate(scene, src, grid, jax.random.key(5), cfg0,
+                              bank=_circle_bank(), chunk_steps=256)
+    t1, b1, n1, s1 = simulate(scene, src, grid, jax.random.key(5), cfg1,
+                              bank=_circle_bank(), chunk_steps=256)
+    assert int(n0) == int(n1) == 4000
+    assert int(s1) < int(s0)  # chaining engaged (fewer megasteps)
+    tot0 = float(totals(b0)[0])
+    tot1 = float(totals(b1)[0])
+    assert tot0 > 0.0 and tot1 > 0.0
+    # same estimator, different schedule: totals agree to MC noise
+    sd = max(np.sqrt(tot0), 1.0)
+    assert abs(tot0 - tot1) < 5 * sd, (tot0, tot1)
+    # binned profile agrees too (not just the total)
+    p0 = np.asarray(b0.circle.data[0]) / max(tot0, 1.0)
+    p1 = np.asarray(b1.circle.data[0]) / max(tot1, 1.0)
+    assert np.abs(p0 - p1).sum() < 0.15, (p0, p1)
+
+
+def test_chain_flag_falls_back_exactly_with_survival_bias():
+    # survival bias still disables chaining: the flag must then be a
+    # no-op -- same program and RNG stream -> bitwise-equal tallies
+    scene, grid, src = _sphere_case()
+    bank = _circle_bank()
+    cfg0 = TransportConfig(nphotons=1000, n_lanes=256, dda_substeps=8,
+                           survival_bias=True)
+    cfg1 = TransportConfig(nphotons=1000, n_lanes=256, dda_substeps=8,
+                           survival_bias=True, chain_scatter=True)
     r0 = simulate(scene, src, grid, jax.random.key(5), cfg0, bank=bank,
                   chunk_steps=256)
     r1 = simulate(scene, src, grid, jax.random.key(5), cfg1, bank=bank,

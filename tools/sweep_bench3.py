@@ -14,14 +14,18 @@ import time
 import jax
 
 
-def run_one(B, K, chunk, nphotons, min_lanes=64):
+def run_one(B, K, chunk, nphotons, min_lanes=64, chain=False):
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     from bench import bench_case
     from rsmcrt_tpu.transport.engine import (
         TransportConfig, simulate, warmup,
     )
 
     scene, grid, src = bench_case()
-    cfg = TransportConfig(nphotons=nphotons, n_lanes=B, dda_substeps=K)
+    cfg = TransportConfig(nphotons=nphotons, n_lanes=B, dda_substeps=K,
+                          chain_scatter=chain)
     warmup(scene, src, grid, jax.random.key(0), cfg, chunk_steps=chunk,
            min_lanes=min_lanes)
     t0 = time.perf_counter()
@@ -40,10 +44,11 @@ def main():
     p.add_argument("--grid", type=str,
                    default="32768:16:96,32768:16:384,32768:12:384,"
                            "65536:16:192,65536:12:192,32768:20:384")
+    p.add_argument("--chain", action="store_true")
     args = p.parse_args()
     for bkc in args.grid.split(","):
         B, K, c = (int(x) for x in bkc.split(":"))
-        pps, steps = run_one(B, K, c, args.n)
+        pps, steps = run_one(B, K, c, args.n, chain=args.chain)
         print(f"B={B:6d} K={K:3d} chunk={c:4d}  {pps/1e3:8.1f}k ph/s  "
               f"steps={steps}", flush=True)
 
