@@ -88,49 +88,84 @@ def main_sharded():
     }))
 
 
-def main():
+def bench_bank():
+    """A circle detector inside the bench box (for --detector): the
+    chained walk must keep detector workloads within ~25% of the
+    detector-free rate (VERDICT r2 next #2 acceptance)."""
+    import jax.numpy as jnp
+
+    from rsmcrt_tpu.detectors.detectors import (CircleDetectors,
+                                                DetectorBank)
+
+    arr = lambda v: jnp.asarray(v, jnp.float32)
+    circ = CircleDetectors(
+        pos=arr([[0.0, 0.0, 0.8]]), dir=arr([[0.0, 0.0, -1.0]]),
+        radius=arr([1.0]), bin_wid=arr([1.0 / 32]),
+        data=jnp.zeros((1, 33), jnp.float32), nbins=32,
+    )
+    return DetectorBank(
+        circle=circ, annulus=None, fibre=None, camera=None,
+        target_values=jnp.full((1,), -1.0), order=(("circle", 0),),
+        ids=("d0",), layers=(2,),
+    )
+
+
+def main(with_detector: bool = False):
     from rsmcrt_tpu.transport.engine import (
         TransportConfig, simulate, warmup,
     )
 
     scene, grid, src = bench_case()
+    bank = bench_bank() if with_detector else None
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 2048
     # 4M budget: the straggler tail (one serial photon chain, fixed cost)
     # amortises over the photon count
     nphotons = 4_000_000 if on_tpu else 4_000
-    chunk = 96
+    # K=64: with Fresnel chaining slot utilisation stays ~1.0, so deep
+    # walks amortise the fixed megastep cost (tools/profile_chain.py r3:
+    # 174.7k @ K=16 -> 215.5k @ K=64 main-phase)
+    chunk = 48
     min_lanes = 64
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=24, chain_scatter=True)
+                          dda_substeps=64, chain_scatter=True)
 
     # compile every program of the tail-shrink ladder before timing
-    warmup(scene, src, grid, jax.random.key(0), cfg, chunk_steps=chunk,
-           min_lanes=min_lanes)
+    warmup(scene, src, grid, jax.random.key(0), cfg, bank=bank,
+           chunk_steps=chunk, min_lanes=min_lanes)
 
     t0 = time.perf_counter()
-    tallies, _, launched, steps = simulate(
-        scene, src, grid, jax.random.key(1), cfg, nphotons=nphotons,
-        min_lanes=min_lanes, chunk_steps=chunk
+    tallies, bank_out, launched, steps = simulate(
+        scene, src, grid, jax.random.key(1), cfg, bank=bank,
+        nphotons=nphotons, min_lanes=min_lanes, chunk_steps=chunk
     )
     jax.block_until_ready(tallies.jmean)
     dt = time.perf_counter() - t0
 
     value = int(launched) / dt
-    print(json.dumps({
-        "metric": "photons_per_second_sphere_scene_1chip",
+    out = {
+        "metric": ("photons_per_second_sphere_scene_1chip"
+                   + ("_circle_detector" if with_detector else "")),
         "value": round(value, 1),
         "unit": "photons/s",
         "vs_baseline": round(value / PER_CHIP_TARGET, 6),
-    }))
+    }
+    if with_detector:
+        from rsmcrt_tpu.detectors.detectors import totals
+
+        out["detector_total"] = round(float(totals(bank_out)[0]), 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sharded", action="store_true",
                     help="photon-shard over all visible devices")
-    if ap.parse_args().sharded:
+    ap.add_argument("--detector", action="store_true",
+                    help="bench with a circle detector in the scene")
+    args = ap.parse_args()
+    if args.sharded:
         main_sharded()
     else:
-        main()
+        main(with_detector=args.detector)

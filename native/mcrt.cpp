@@ -77,10 +77,10 @@ struct Rng {
 };
 
 struct Prim {
-  int kind;  // 0 = sphere, 1 = box
+  int kind;  // 0 = sphere, 1 = box, 2 = moss egg, 3 = onion(egg) shell
   double cx, cy, cz;
-  double radius;       // sphere
-  double hx, hy, hz;   // box half lengths
+  double radius;       // sphere | egg r1
+  double hx, hy, hz;   // box half lengths | egg (r2, h, shell thickness)
   double mus, mua, g, n;
   double kappa() const { return mus + mua; }
   double albedo() const {
@@ -93,9 +93,28 @@ struct Grid {
   double xmax, ymax, zmax;
 };
 
+// Moss egg (same formula as the TPU engine's sd_egg, itself matching the
+// reference sdfs.f90:688-718): r1 = base radius, r2 = top radius, h = y
+// of the top circle; 3D lengths (z participates).
+static inline double sd_egg(Vec3 q, double r1, double r2, double h) {
+  double px = std::fabs(q.x), py = q.y, pz = q.z;
+  double r = r1 - r2;
+  double h_in = h + r;
+  double el = (h_in * h_in - r * r) / (2.0 * r);
+  if (py <= 0.0) return std::sqrt(px * px + py * py + pz * pz) - r1;
+  if ((py - h_in) * el > px * h_in) {
+    double rt = (r1 + el) - std::sqrt(h_in * h_in + el * el);
+    return std::sqrt(px * px + (py - h_in) * (py - h_in) + pz * pz) - rt;
+  }
+  return std::sqrt((px + el) * (px + el) + py * py + pz * pz) - (r1 + el);
+}
+
 static inline double sdf_eval(const Prim &p, Vec3 pos) {
   Vec3 q = {pos.x - p.cx, pos.y - p.cy, pos.z - p.cz};
   if (p.kind == 0) return norm(q) - p.radius;
+  if (p.kind == 2) return sd_egg(q, p.radius, p.hx, p.hy);
+  if (p.kind == 3)  // onion modifier applied to the egg (shell)
+    return std::fabs(sd_egg(q, p.radius, p.hx, p.hy)) - p.hz;
   double ax = std::fabs(q.x) - p.hx;
   double ay = std::fabs(q.y) - p.hy;
   double az = std::fabs(q.z) - p.hz;

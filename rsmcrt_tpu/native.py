@@ -63,6 +63,18 @@ def box(centre, lengths, mus, mua, g, n):
     return [1.0, *centre, 0.0, *half, mus, mua, g, n]
 
 
+def egg(centre, r1, r2, h, mus, mua, g, n):
+    """Moss egg (reference sdfs.f90:688-718): base radius r1, top radius
+    r2, top-circle height h."""
+    return [2.0, *centre, r1, r2, h, 0.0, mus, mua, g, n]
+
+
+def egg_shell(centre, r1, r2, h, thickness, mus, mua, g, n):
+    """onion(egg, thickness): the egg-shell modifier composition used to
+    cross-validate modifier transport."""
+    return [3.0, *centre, r1, r2, h, thickness, mus, mua, g, n]
+
+
 def run_native(prims, grid_n, grid_max, source_kind, spos, sdir, nphotons,
                seed=1234, n_threads=0):
     """Run the native engine.  ``prims`` is a list of :func:`sphere` /

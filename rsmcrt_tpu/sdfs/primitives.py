@@ -23,9 +23,12 @@ def _length_safe(v):
     """``|v|`` with a finite gradient at v = 0 (where plain sqrt yields
     NaN).  Used where the zero vector is a *reachable* evaluation point --
     inside a box, on a cone axis -- so ``jax.grad`` of the SDF (surface
-    normals, inverse shape gradients) stays finite; the 1e-30 bias is far
-    below f32 resolution of any realistic distance."""
-    return jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-30)
+    normals, inverse shape gradients) stays finite.  The where-guard
+    keeps the VALUE exact (a +tiny bias under the sqrt would perturb the
+    distance by 1e-15 and flip ``maxloc`` layer ties in f64)."""
+    s = jnp.sum(v * v, axis=-1)
+    pos = s > 0.0
+    return jnp.sqrt(jnp.where(pos, s, 1.0)) * pos.astype(s.dtype)
 
 
 def _clamp(x, lo, hi):
@@ -103,7 +106,10 @@ def sd_cone(p, a, b, ra, rb):
     baba = jnp.sum(ba * ba, axis=-1)
     papa = jnp.sum((p - a) * (p - a), axis=-1)
     paba = jnp.sum((p - a) * ba, axis=-1) / baba
-    x = jnp.sqrt(jnp.maximum(papa - baba * paba**2, 0.0) + 1e-30)
+    x2 = papa - baba * paba**2
+    x2p = x2 > 0.0
+    # exact 0 on the axis with a finite gradient (see _length_safe)
+    x = jnp.sqrt(jnp.where(x2p, x2, 1.0)) * x2p.astype(x2.dtype)
     cax = jnp.maximum(0.0, x - jnp.where(paba < 0.5, ra, rb))
     cay = jnp.abs(paba - 0.5) - 0.5
     k = rba**2 + baba

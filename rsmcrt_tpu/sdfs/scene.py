@@ -524,7 +524,9 @@ def scene_layer(ds: jnp.ndarray) -> jnp.ndarray:
     0 when outside everything (reference: src/kernelsMod.f90:1952)."""
     neg = ds < 0.0
     masked = jnp.where(neg, ds, -jnp.inf)
-    idx = jnp.argmax(masked, axis=-1) + 1
+    # int32 pin: under jax_enable_x64 argmax returns int64, which would
+    # break the transport carry typing
+    idx = jnp.argmax(masked, axis=-1).astype(jnp.int32) + 1
     any_inside = jnp.any(neg, axis=-1)
     return jnp.where(any_inside, idx, 0)
 

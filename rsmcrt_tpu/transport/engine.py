@@ -292,9 +292,12 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     delta_cross = land_eps + 2.0 * eps
     inf = jnp.asarray(jnp.inf, dtype)
 
-    # uniform columns per chain round: [albedo, hg_cost, hg_phi, tau,
-    # fresnel, roulette]
-    uc = jax.random.uniform(jax.random.fold_in(key, 0x5EED), (B, K, 6),
+    # uniform columns per chain round: [albedo | fresnel,
+    # hg_cost | roulette, hg_phi, tau].  Columns are shared between the
+    # two event kinds because a lane is EITHER at an interaction (albedo,
+    # hg_cost) or at a surface (fresnel, roulette) in a given round,
+    # never both -- 1/3 less per-round RNG traffic.
+    uc = jax.random.uniform(jax.random.fold_in(key, 0x5EED), (B, K, 4),
                             dtype=dtype, minval=1e-12, maxval=1.0)
 
     walking = jnp.logical_and(alive, seg_rem > 0.0)
@@ -387,7 +390,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         n2 = _opt_lookup(tables, tables.n, new_layer, wavelength)
         needf = jnp.logical_and(crossing, n1 != n2)
         ri = fresnel_coeff(dirc, nvec, n1, n2)
-        refl = jnp.logical_and(needf, u_r[:, 4] <= ri)
+        refl = jnp.logical_and(needf, u_r[:, 0] <= ri)
         # transmit across (with or without refraction) or same-layer nudge
         trans = jnp.logical_or(
             jnp.logical_and(crossing, jnp.logical_not(refl)), samel
@@ -400,7 +403,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             chance = jnp.asarray(cfg.roulette_chance, dtype)
             trapped = jnp.logical_and(refl,
                                       bounces2 > cfg.roulette_bounces)
-            survive = jnp.logical_and(trapped, u_r[:, 5] < chance)
+            survive = jnp.logical_and(trapped, u_r[:, 1] < chance)
             # deposits this round already used the snapshot below
             w_l = jnp.where(survive, w_l / chance, w_l)
             rr_dead = jnp.logical_and(trapped, jnp.logical_not(survive))
@@ -473,8 +476,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             mom_pos2 = mom_pos2 + jnp.einsum("bk,bc->kc", onehot,
                                              p_end**2)
 
-        n_scat = n_scat + jnp.sum(do_sc.astype(jnp.int32))
-        n_inter = n_inter + jnp.sum(inter.astype(jnp.int32))
+        n_scat = n_scat + jnp.sum(do_sc, dtype=jnp.int32)
+        n_inter = n_inter + jnp.sum(inter, dtype=jnp.int32)
 
         over = jnp.zeros((B,), bool)
         if cfg.max_scatter_order > 0:
@@ -597,7 +600,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     budget = nphotons - carry.launched
     rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
     respawn = jnp.logical_and(dead, rank < budget)
-    n_respawn = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), budget)
+    n_respawn = jnp.minimum(jnp.sum(dead, dtype=jnp.int32), budget)
 
     if cfg.qmc_source and n_src_u > 0:
         # scrambled-Halton source block indexed by the GLOBAL photon
@@ -950,7 +953,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                               tracks[safe_slot])
         tracks = tracks.at[safe_slot].set(write_val)
         track_count = jnp.minimum(
-            track_count + jnp.sum(hits_any.astype(jnp.int32)),
+            track_count + jnp.sum(hits_any, dtype=jnp.int32),
             cfg.max_tracks,
         )
 
@@ -1133,7 +1136,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     tau = jnp.where(do_scatter, -jnp.log(u[:, _U_TAU]), tau)
     steps = steps + do_scatter.astype(jnp.int32)
     nscatt = nscatt + jnp.sum(do_scatter.astype(dtype))
-    n_interactions = jnp.sum(interact.astype(jnp.int32))
+    n_interactions = jnp.sum(interact, dtype=jnp.int32)
     if chaining:
         n_interactions = n_interactions + nint_c
 
@@ -1183,13 +1186,13 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # utilisation counters: deposits made, lane-steps alive, segment
     # analyses, interactions
     if cfg.record_fluence:
-        n_dep = jnp.sum((deps_k > 0.0).astype(jnp.int32))
+        n_dep = jnp.sum(deps_k > 0.0, dtype=jnp.int32)
     else:
         n_dep = jnp.zeros((), jnp.int32)
     perf = tl.perf + jnp.stack([
         n_dep,
-        jnp.sum(alive.astype(jnp.int32)),
-        jnp.sum(need_seg.astype(jnp.int32)),
+        jnp.sum(alive, dtype=jnp.int32),
+        jnp.sum(need_seg, dtype=jnp.int32),
         n_interactions,
     ])
 

@@ -99,10 +99,11 @@ def test_chained_detectors_match_plain_statistically():
     # same estimator, different schedule: totals agree to MC noise
     sd = max(np.sqrt(tot0), 1.0)
     assert abs(tot0 - tot1) < 5 * sd, (tot0, tot1)
-    # binned profile agrees too (not just the total)
+    # binned profile agrees too (not just the total).  ~160 hits per run
+    # puts the expected multinomial L1 distance near 0.2; gate at 0.35
     p0 = np.asarray(b0.circle.data[0]) / max(tot0, 1.0)
     p1 = np.asarray(b1.circle.data[0]) / max(tot1, 1.0)
-    assert np.abs(p0 - p1).sum() < 0.15, (p0, p1)
+    assert np.abs(p0 - p1).sum() < 0.35, (p0, p1)
 
 
 def test_chain_flag_falls_back_exactly_with_survival_bias():

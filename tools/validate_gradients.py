@@ -43,36 +43,51 @@ def main():
     base["radius"] = float(
         np.asarray(scene.group_params[g_slot]["radius"])[m_slot]
     )
+    mus0 = base["mus"]
 
     def run(th, seed):
         sc = _set_prim_optics(scene, pi, th["mus"], th["mua"], th["g"],
                               th["n"])
         sc = _set_prim_shape(sc, pi, "radius", th["radius"])
-        tot, _, n = _forward(parsed, sc, cfg, seed, inverse_prim=i)
-        return tot.astype(np.float64), n
+        tot, stats, n = _forward(parsed, sc, cfg, seed, inverse_prim=i)
+        return tot.astype(np.float64), stats, n
+
+    # pMC estimator averaged over independent seeds: at 1M photons a
+    # single run's own MC error dominates the FD comparison; averaging
+    # S seeds drives it below the 1e-3 acceptance (BASELINE.md)
+    seeds = [101 + 7 * k for k in range(args.s)]
+    est_rows = {"mua": [], "mus": [], "g": []}
+    N = 0
+    for s in seeds:
+        _, stats, n = run(base, 7777 + s)
+        sw, swc, swl, swh = (stats[:, j].astype(np.float64)
+                             for j in range(4))
+        est_rows["mua"].append(-swl / n)
+        est_rows["mus"].append((swc / max(mus0, 1e-9) - swl) / n)
+        est_rows["g"].append(swh / n)
+        N += n
 
     def fd(param, h, seeds):
         vals = []
         for s in seeds:
-            hi, n_hi = run({**base, param: base[param] + h}, s)
-            lo, n_lo = run({**base, param: base[param] - h}, s)
+            hi, _, n_hi = run({**base, param: base[param] + h}, s)
+            lo, _, n_lo = run({**base, param: base[param] - h}, s)
             vals.append((hi / n_hi - lo / n_lo) / (2 * h))
         v = np.stack(vals)
         return v.mean(0), v.std(0) / np.sqrt(len(seeds))
 
-    seeds = [101 + 7 * k for k in range(args.s)]
-    N = res["launched"]
-    print(f"photons/run: {N}, FD seeds: {len(seeds)}")
-    print(f"{'param':8s} {'estimator':>12s} {'FD':>12s} {'FD sem':>10s} "
-          f"{'rel diff':>9s}")
-    for param, h, key in (("mua", 0.05, "dT_dmua"),
-                          ("mus", 0.25, "dT_dmus"),
-                          ("g", 0.025, "dT_dg")):
-        est = float(res[key][0]) / N
+    print(f"photons/run: {args.n}, seeds: {len(seeds)} "
+          f"(pMC total {N} photons)")
+    print(f"{'param':8s} {'estimator':>12s} {'est sem':>10s} {'FD':>12s} "
+          f"{'FD sem':>10s} {'rel diff':>9s}")
+    for param, h in (("mua", 0.05), ("mus", 0.25), ("g", 0.025)):
+        v = np.stack(est_rows[param])
+        est = v.mean(0)[0]
+        est_sem = (v.std(0) / np.sqrt(len(seeds)))[0]
         fdm, sem = fd(param, h, seeds)
         rel = (est - fdm[0]) / abs(fdm[0])
-        print(f"{param:8s} {est:12.5f} {fdm[0]:12.5f} {sem[0]:10.5f} "
-              f"{rel:+9.4f}")
+        print(f"{param:8s} {est:12.5f} {est_sem:10.5f} {fdm[0]:12.5f} "
+              f"{sem[0]:10.5f} {rel:+9.4f}", flush=True)
 
     # n and radius: the estimator IS a CRN difference; validate h- and
     # seed-independence (two h's, independent seed sets)
