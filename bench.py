@@ -59,9 +59,10 @@ def main_sharded():
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 512
     nphotons = (1_000_000 if on_tpu else 2_000) * n_dev
-    chunk = 96
+    chunk = 96 if not on_tpu else 48
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=24, chain_scatter=True)
+                          dda_substeps=64 if on_tpu else 8,
+                          chain_scatter=True)
 
     # warmup compiles the chunk program (same shapes, traced budget)
     simulate_sharded_chunked(scene, src, grid, jax.random.key(0), cfg,

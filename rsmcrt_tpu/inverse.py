@@ -163,6 +163,7 @@ def inverse_random_search(input_file, nsteps=None, nphotons=None,
     cfg = TransportConfig(
         nphotons=nph,
         n_lanes=int(n_lanes or default_lanes(nph)),
+        record_fluence=False,  # the search scores detector totals only
     )
 
     rng = np.random.default_rng(st.iseed)
@@ -248,6 +249,9 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
         nphotons=nph,
         n_lanes=int(n_lanes or default_lanes(nph)),
         inverse_prim=prim_index + 1,
+        # detector totals + pMC stats only: fluence deposits are the
+        # single largest cost (the scatter-add) and play no role here
+        record_fluence=False,
     )
 
     def build_scene_at(th):
@@ -340,6 +344,7 @@ def detector_gradients(input_file, nphotons=None, n_lanes=None,
         nphotons=nph,
         n_lanes=int(n_lanes or default_lanes(nph)),
         inverse_prim=prim_index + 1,
+        record_fluence=False,  # detector totals + pMC stats only
     )
     base_seed = seed if seed is not None else st.iseed
     tot, stats, launched = _forward(

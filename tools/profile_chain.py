@@ -24,15 +24,29 @@ from rsmcrt_tpu.transport.engine import (  # noqa: E402
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=str, default=None,
+                    help="comma list of B:K:chain triplets")
+    args = ap.parse_args()
+
     scene, grid, src = bench_case()
     key = jax.random.key(7)
-    B = 32768
     chunk = 96
     n_chunks = 10
     budget = 100_000_000  # never exhausted: continuous respawn
 
-    for chain, K in [(False, 16), (True, 16), (True, 24), (True, 32),
-                     (True, 48), (True, 64)]:
+    if args.grid:
+        combos = []
+        for t in args.grid.split(","):
+            B_, K_, c_ = (int(x) for x in t.split(":"))
+            combos.append((bool(c_), K_, B_))
+    else:
+        combos = [(False, 16, 32768), (True, 16, 32768),
+                  (True, 24, 32768), (True, 32, 32768),
+                  (True, 48, 32768), (True, 64, 32768)]
+
+    for chain, K, B in combos:
         cfg = TransportConfig(nphotons=budget, n_lanes=B,
                               dda_substeps=K, chain_scatter=chain)
         carry = init_carry(grid, cfg)
