@@ -100,13 +100,14 @@ class TransportConfig:
     # voxel-wall intervals deposited per megastep before re-running
     # segment analysis (8 measured best on v5e with the closed-form DDA)
     dda_substeps: int = 8
-    # in-line scatter chaining inside the DDA walk: a lane whose segment
-    # ends in a scatter interaction samples the new direction + tau and
-    # keeps walking within the same dda_substeps budget (see
-    # ``_chained_dda``).  Needs a fully analytic scene, no detectors,
-    # analog absorption and no history/phasor/pMC/escape; silently falls
-    # back to the plain walk otherwise.  Identical physics, ~40% fewer
-    # megasteps + deposit slots per photon on the bench scene.
+    # in-line chaining inside the DDA walk: a lane whose segment ends in
+    # an interaction (scatter / absorb / survival-bias deposit) or at an
+    # analytic surface (Fresnel reflect/refract/cross) consumes the
+    # event in place and keeps walking within the same dda_substeps
+    # budget (see ``_chained_dda``).  Needs a fully analytic scene and
+    # no history/phasor/pMC/escape (detector banks and survival bias DO
+    # chain); silently falls back to the plain walk otherwise.
+    # Identical physics; slot utilisation ~1.0 vs ~0.6 unchained.
     chain_scatter: bool = False
     # sphere-trace iterations folded into one megastep (the reference's
     # inner march loop, inttau2.f90:155-192).  Each costs one batched
@@ -275,9 +276,11 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     Either way the lane re-anchors its wall-crossing streams at the event
     point via the analytic raycast and keeps walking.  Voxels are tracked
     incrementally (the crossing axis advances the integer cell by +-1),
-    replacing midpoint ``get_voxel`` math.  Requires: fully analytic
-    scene, no detectors, analog absorption, no history/phasor/pMC/escape
-    -- ``transport_step`` falls back to the plain walk otherwise.
+    replacing midpoint ``get_voxel`` math.  Detector banks are tested
+    per new segment (``check_bins`` + one dense flush); survival bias
+    deposits w*(1-albedo) per interaction into a per-round pair list.
+    Requires: fully analytic scene, no history/phasor/pMC/escape --
+    ``transport_step`` falls back to the plain walk otherwise.
     """
     dtype = pos.dtype
     B = pos.shape[0]
@@ -331,6 +334,9 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     steps_l = steps
     tau_l = tau
     flats, vals = [], []
+    # survival-bias mode deposits w*(1-albedo) at EVERY interaction:
+    # per-round (cell, weight) pairs, flushed with one scatter-add
+    ab_flats, ab_vals = [], []
     # per-round detector (bin, weight) candidates, flushed densely after
     # the loop (reference hit protocol: one test per straight segment,
     # inttau2.f90:195-200; analysis-phase segments were already tested)
@@ -369,12 +375,32 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         g_l = _opt_lookup(tables, tables.hgg, layer_l, wavelength)
 
         # --- interaction events (tau exhausted) -------------------------
-        do_sc = jnp.logical_and(inter, u_r[:, 0] < albedo_l)
-        do_ab = jnp.logical_and(inter, jnp.logical_not(do_sc))
-        ab_ok = jnp.logical_and(do_ab, valid)
-        absorb_w = jnp.where(ab_ok, w_l, absorb_w)
-        absorb_flat = jnp.where(ab_ok, flat, absorb_flat)
-        died = jnp.logical_or(died, do_ab)
+        if not cfg.survival_bias:
+            # analog: scatter-or-die (kernelsMod.f90:1958-1974); at most
+            # one absorption per lane per megastep -> single-slot record
+            do_sc = jnp.logical_and(inter, u_r[:, 0] < albedo_l)
+            do_ab = jnp.logical_and(inter, jnp.logical_not(do_sc))
+            ab_ok = jnp.logical_and(do_ab, valid)
+            absorb_w = jnp.where(ab_ok, w_l, absorb_w)
+            absorb_flat = jnp.where(ab_ok, flat, absorb_flat)
+            died = jnp.logical_or(died, do_ab)
+        else:
+            # survival bias (kernelsMod.f90:2036-2066): deposit
+            # w*(1-albedo) at EVERY interaction, roulette below
+            # THRESHOLD, scatter otherwise; per-round (cell, weight)
+            # pairs are collected and flushed with the deposit scatter
+            thr = jnp.asarray(THRESHOLD, dtype)
+            ch = jnp.asarray(CHANCE, dtype)
+            w_abs = jnp.where(inter, w_l * (1.0 - albedo_l), 0.0)
+            w_l = w_l - w_abs
+            ab_flats.append(flat)
+            ab_vals.append(jnp.where(valid, w_abs, 0.0))
+            roul = jnp.logical_and(inter, w_l < thr)
+            surv = jnp.logical_and(roul, u_r[:, 0] < ch)
+            w_l = jnp.where(surv, w_l / ch, w_l)
+            do_ab = jnp.logical_and(roul, jnp.logical_not(surv))
+            do_sc = jnp.logical_and(inter, jnp.logical_not(do_ab))
+            died = jnp.logical_or(died, do_ab)
 
         # --- surface events: nudge-across probe + Fresnel branch --------
         # (reference inttau2.f90:73-146 eps-nudge, :248-337 Fresnel)
@@ -552,6 +578,10 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     alive_new = jnp.logical_and(alive, jnp.logical_not(died))
     flat_k = jnp.stack(flats, axis=-1)  # [B, K]
     deps_k = jnp.stack(vals, axis=-1)
+    if cfg.survival_bias:
+        # fold the per-round absorption deposits into the same flush
+        absorb_w = jnp.stack(ab_vals, axis=-1)  # [B, K]
+        absorb_flat = jnp.stack(ab_flats, axis=-1)
     bank_out = bank
     if bank is not None and dect_acc:
         acc = {
@@ -972,11 +1002,12 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # =====================================================================
     K = cfg.dda_substeps
     walk_mask0 = jnp.logical_and(alive, seg_rem > 0.0)
-    # detector banks chain fine (round-3; per-event segment tests inside
-    # the walk, VERDICT r2 next #2); the hit-matrix modes (escape / pMC /
-    # history) and survival bias still need the full analysis phase
+    # detector banks and survival bias chain fine (round 3: per-event
+    # segment tests + per-interaction weight deposits inside the walk);
+    # the hit-matrix modes (escape / pMC / history) still need the full
+    # analysis phase
     chaining = (cfg.chain_scatter and cfg.record_fluence
-                and not cfg.survival_bias and cfg.escape_shape[0] == 0
+                and cfg.escape_shape[0] == 0
                 and cfg.history_len == 0 and not cfg.record_phasor
                 and cfg.inverse_prim == 0 and all(ana_mask))
 

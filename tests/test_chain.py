@@ -106,23 +106,52 @@ def test_chained_detectors_match_plain_statistically():
     assert np.abs(p0 - p1).sum() < 0.35, (p0, p1)
 
 
-def test_chain_flag_falls_back_exactly_with_survival_bias():
-    # survival bias still disables chaining: the flag must then be a
+def test_chained_survival_bias_matches_plain_statistically():
+    """Round 3: survival bias chains (per-interaction w*(1-albedo)
+    deposits inside the walk).  Energy bookkeeping must agree with the
+    plain path: same absorbed weight, same fluence, same detected
+    totals."""
+    from rsmcrt_tpu.detectors.detectors import totals
+
+    scene, grid, src = _sphere_case()
+    cfg0 = TransportConfig(nphotons=3000, n_lanes=512, dda_substeps=8,
+                           survival_bias=True)
+    cfg1 = TransportConfig(nphotons=3000, n_lanes=512, dda_substeps=8,
+                           survival_bias=True, chain_scatter=True)
+    t0, b0, n0, s0 = simulate(scene, src, grid, jax.random.key(5), cfg0,
+                              bank=_circle_bank(), chunk_steps=256)
+    t1, b1, n1, s1 = simulate(scene, src, grid, jax.random.key(5), cfg1,
+                              bank=_circle_bank(), chunk_steps=256)
+    assert int(n0) == int(n1) == 3000
+    assert int(s1) < int(s0)  # chaining engaged
+    ja, jb = float(jnp.sum(t0.jmean)) / 3000, float(jnp.sum(t1.jmean)) / 3000
+    assert abs(ja - jb) / ja < 0.05, (ja, jb)
+    # absorbed weight per photon: survival bias deposits continuously,
+    # so totals are low-variance -- tight gate
+    aa = float(jnp.sum(t0.absorb)) / 3000
+    ab = float(jnp.sum(t1.absorb)) / 3000
+    assert abs(aa - ab) / aa < 0.05, (aa, ab)
+    d0, d1 = float(totals(b0)[0]), float(totals(b1)[0])
+    sd = max(np.sqrt(max(d0, 1.0)), 1.0)
+    assert abs(d0 - d1) < 6 * sd, (d0, d1)
+
+
+def test_chain_flag_falls_back_exactly_with_phasor():
+    # phasor recording still disables chaining: the flag must then be a
     # no-op -- same program and RNG stream -> bitwise-equal tallies
     scene, grid, src = _sphere_case()
-    bank = _circle_bank()
     cfg0 = TransportConfig(nphotons=1000, n_lanes=256, dda_substeps=8,
-                           survival_bias=True)
+                           record_phasor=True)
     cfg1 = TransportConfig(nphotons=1000, n_lanes=256, dda_substeps=8,
-                           survival_bias=True, chain_scatter=True)
-    r0 = simulate(scene, src, grid, jax.random.key(5), cfg0, bank=bank,
+                           record_phasor=True, chain_scatter=True)
+    r0 = simulate(scene, src, grid, jax.random.key(5), cfg0,
                   chunk_steps=256)
-    r1 = simulate(scene, src, grid, jax.random.key(5), cfg1, bank=bank,
+    r1 = simulate(scene, src, grid, jax.random.key(5), cfg1,
                   chunk_steps=256)
     np.testing.assert_array_equal(np.asarray(r0[0].jmean),
                                   np.asarray(r1[0].jmean))
-    np.testing.assert_array_equal(np.asarray(r0[1].circle.data),
-                                  np.asarray(r1[1].circle.data))
+    np.testing.assert_array_equal(np.asarray(r0[0].phasor_re),
+                                  np.asarray(r1[0].phasor_re))
     assert int(r0[3]) == int(r1[3])
 
 
