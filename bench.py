@@ -19,6 +19,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache: the K=64 ladder is expensive to build
+    jax.config.update("jax_compilation_cache_dir",
+                      str(__file__).rsplit("/", 1)[0] + "/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 
 PER_CHIP_TARGET = 1e9 / 8.0  # north-star 1e9 photons/s on v5e-8
 

@@ -14,8 +14,12 @@ Usage:  python tools/validate_gradients.py [-n 1000000] [-s 8]
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
@@ -24,6 +28,12 @@ def main():
     p.add_argument("-s", type=int, default=8, help="FD seeds to average")
     p.add_argument("--lanes", type=int, default=32768)
     p.add_argument("--config", default="res/inverse_test.toml")
+    p.add_argument("--params", default=None,
+                   help="csv subset of mua,mus,g (skips n/radius section)")
+    p.add_argument("--fd-seeds", type=int, default=None,
+                   help="independent seed count for the FD side")
+    p.add_argument("--richardson", action="store_true",
+                   help="Richardson-extrapolate the FD (two step sizes)")
     args = p.parse_args()
 
     from rsmcrt_tpu.inverse import (
@@ -80,14 +90,28 @@ def main():
           f"(pMC total {N} photons)")
     print(f"{'param':8s} {'estimator':>12s} {'est sem':>10s} {'FD':>12s} "
           f"{'FD sem':>10s} {'rel diff':>9s}")
+    fd_seeds = [301 + 11 * k for k in range(args.fd_seeds or args.s)]
+    want = set((args.params or "mua,mus,g").split(","))
     for param, h in (("mua", 0.05), ("mus", 0.25), ("g", 0.025)):
+        if param not in want:
+            continue
         v = np.stack(est_rows[param])
         est = v.mean(0)[0]
         est_sem = (v.std(0) / np.sqrt(len(seeds)))[0]
-        fdm, sem = fd(param, h, seeds)
+        if args.richardson:
+            # Richardson extrapolation kills the O(h^2) FD bias:
+            # (4 FD(h/2) - FD(h)) / 3
+            f1, s1 = fd(param, h, fd_seeds)
+            f2, s2 = fd(param, h / 2, fd_seeds)
+            fdm = (4.0 * f2 - f1) / 3.0
+            sem = np.sqrt((16.0 * s2**2 + s1**2)) / 3.0
+        else:
+            fdm, sem = fd(param, h, fd_seeds)
         rel = (est - fdm[0]) / abs(fdm[0])
         print(f"{param:8s} {est:12.5f} {est_sem:10.5f} {fdm[0]:12.5f} "
               f"{sem[0]:10.5f} {rel:+9.4f}", flush=True)
+    if args.params:
+        return
 
     # n and radius: the estimator IS a CRN difference; validate h- and
     # seed-independence (two h's, independent seed sets)
