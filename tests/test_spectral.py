@@ -66,3 +66,32 @@ def test_spectral_transport_scatter_counts():
     # tau=2 sphere: ~ tau^2/2 + tau = 4; tau=20: ~ 220
     assert out["blue"] < 8.0
     assert out["red"] > 100.0
+
+
+@pytest.mark.slow
+def test_spectral_transport_chained_matches_plain():
+    """The chained walk does per-round spectral lookups (layer AND
+    wavelength vary inside the chain): physics must match the plain walk
+    statistically on a spectral scene."""
+    from rsmcrt_tpu.optics.piecewise import Constant
+
+    opt = _spectral_opt(2.0, 20.0)
+    sc = S.build_scene([
+        S.sphere(1.0, opt, 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(32, 32, 32, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0],
+                       spectrum=Constant(jnp.asarray(550.0)))
+    out = {}
+    for chain in (False, True):
+        cfg = TransportConfig(nphotons=3000, n_lanes=1024,
+                              chain_scatter=chain)
+        t, _, launched, _ = simulate(sc, src, grid, jax.random.key(7),
+                                     cfg)
+        out[chain] = (float(t.nscatt) / int(launched),
+                      float(jnp.sum(t.jmean)) / int(launched))
+    ns0, j0 = out[False]
+    ns1, j1 = out[True]
+    assert abs(ns0 - ns1) / ns0 < 0.06, (ns0, ns1)
+    assert abs(j0 - j1) / j0 < 0.06, (j0, j1)

@@ -55,12 +55,16 @@ def main():
         int(carry.launched)
         t0 = time.perf_counter()
         l0 = int(carry.launched)
+        perf0 = [int(v) for v in carry.tallies.perf]
         for _ in range(n_chunks):
             carry = _run_steps(scene, src, grid, key, carry, cfg, chunk)
             launched = int(carry.launched)  # host read each chunk
         dt = time.perf_counter() - t0
         steps = n_chunks * chunk
-        perf = [int(v) for v in carry.tallies.perf]
+        # deltas over the timed window: the cumulative int32 counters
+        # overflow at ~2e9 deposits (long profiles)
+        perf = [int(v) - p0 for v, p0 in
+                zip(carry.tallies.perf, perf0)]
         util = perf[0] / max(perf[1], 1) / K  # deposits / (alive*K)
         print(f"chain={int(chain)} K={K:2d}: "
               f"{(launched - l0) / dt / 1e3:7.1f}k ph/s main-phase, "
