@@ -316,13 +316,21 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     pc = p0 + half  # corner-origin coordinates
     cellf = jnp.floor(pc / dv)
     cell = cellf.astype(jnp.int32)  # [B, 3]
-    safe_d = jnp.where(dirc == 0.0, 1.0, dirc)
-    t_up = ((cellf + 1.0) * dv - pc) / safe_d
-    t_dn = (cellf * dv - pc) / safe_d
-    t_next = jnp.where(dirc > 0.0, t_up,
-                       jnp.where(dirc < 0.0, t_dn, big))
-    t_next = jnp.maximum(t_next, 0.0)  # on-wall round-off
-    dt_ax = jnp.where(dirc == 0.0, big, dv / jnp.abs(safe_d))
+    if cfg.record_fluence:
+        safe_d = jnp.where(dirc == 0.0, 1.0, dirc)
+        t_up = ((cellf + 1.0) * dv - pc) / safe_d
+        t_dn = (cellf * dv - pc) / safe_d
+        t_next = jnp.where(dirc > 0.0, t_up,
+                           jnp.where(dirc < 0.0, t_dn, big))
+        t_next = jnp.maximum(t_next, 0.0)  # on-wall round-off
+        dt_ax = jnp.where(dirc == 0.0, big, dv / jnp.abs(safe_d))
+    else:
+        # fluenceless mode (the reference without -Dpathlength,
+        # inttau2.f90:446-462): no per-voxel intervals, so every round
+        # jumps a WHOLE segment and processes its event -- K events per
+        # lane per megastep instead of K wall crossings
+        t_next = jnp.full((B, 3), big, dtype)
+        dt_ax = t_next
     s_prev = jnp.zeros((B,), dtype)
 
     died = jnp.zeros((B,), bool)
@@ -347,16 +355,25 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         ends = rem <= c
         hi = jnp.where(ends, rem, c)
         length = jnp.maximum(hi - s_prev, 0.0)
-        valid = jnp.all(
-            jnp.logical_and(cell >= 0, cell < counts), axis=-1
-        )
-        safe = jnp.clip(cell, 0, counts - 1)
-        flat = (safe[:, 0] * grid.nyg + safe[:, 1]) * grid.nzg + safe[:, 2]
-        # interval outside the grid: the photon dies at the grid wall
-        # (reference update_grids tflag, inttau2.f90:437-440)
-        exit_now = jnp.logical_and(
-            walking, jnp.logical_and(jnp.logical_not(valid), length > 0.0)
-        )
+        if cfg.record_fluence:
+            valid = jnp.all(
+                jnp.logical_and(cell >= 0, cell < counts), axis=-1
+            )
+            safe = jnp.clip(cell, 0, counts - 1)
+            flat = ((safe[:, 0] * grid.nyg + safe[:, 1]) * grid.nzg
+                    + safe[:, 2])
+            # interval outside the grid: the photon dies at the grid wall
+            # (reference update_grids tflag, inttau2.f90:437-440)
+            exit_now = jnp.logical_and(
+                walking,
+                jnp.logical_and(jnp.logical_not(valid), length > 0.0),
+            )
+        else:
+            # endpoint validity, like the plain fluenceless jump
+            vox_e = get_voxel(grid, p0 + rem[:, None] * dirc)
+            flat, valid = voxel_flat_index(grid, vox_e)
+            exit_now = jnp.logical_and(walking,
+                                       jnp.logical_not(valid))
         died = jnp.logical_or(died, exit_now)
         base = jnp.logical_and(walking, jnp.logical_not(exit_now))
 
@@ -442,10 +459,11 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         # crossing nudge (the reference walks + deposits its smallstep,
         # inttau2.f90:75-146) -------------------------------------------
         dep_len = length + jnp.where(trans, delta_cross, 0.0)
-        dep = jnp.where(jnp.logical_and(walking, valid),
-                        dep_len * w_dep, 0.0)
-        flats.append(flat)
-        vals.append(dep)
+        if cfg.record_fluence:
+            dep = jnp.where(jnp.logical_and(walking, valid),
+                            dep_len * w_dep, 0.0)
+            flats.append(flat)
+            vals.append(dep)
         walked = walked + jnp.where(walking, dep_len, 0.0)
 
         # --- continuation: scatter + surviving surface lanes ------------
@@ -530,21 +548,23 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
                 acc[1].append(fw)
         dirc = jnp.where(evm, np_dir, dirc)
         p0 = jnp.where(evm, np_pos, p0)
-        # re-anchor the wall-crossing streams at the event point (the
-        # tracked cell stays authoritative, so a slightly-across-wall
-        # event point cannot desynchronise deposit voxels)
-        pc2 = np_pos + half
-        cellf2 = cell.astype(dtype)
-        safe2 = jnp.where(np_dir == 0.0, 1.0, np_dir)
-        tu2 = ((cellf2 + 1.0) * dv - pc2) / safe2
-        td2 = (cellf2 * dv - pc2) / safe2
-        t02 = jnp.maximum(
-            jnp.where(np_dir > 0.0, tu2,
-                      jnp.where(np_dir < 0.0, td2, big)), 0.0
-        )
-        dt2 = jnp.where(np_dir == 0.0, big, dv / jnp.abs(safe2))
-        t_next = jnp.where(evm, t02, t_next)
-        dt_ax = jnp.where(evm, dt2, dt_ax)
+        if cfg.record_fluence:
+            # re-anchor the wall-crossing streams at the event point
+            # (the tracked cell stays authoritative, so a slightly-
+            # across-wall event point cannot desynchronise deposit
+            # voxels)
+            pc2 = np_pos + half
+            cellf2 = cell.astype(dtype)
+            safe2 = jnp.where(np_dir == 0.0, 1.0, np_dir)
+            tu2 = ((cellf2 + 1.0) * dv - pc2) / safe2
+            td2 = (cellf2 * dv - pc2) / safe2
+            t02 = jnp.maximum(
+                jnp.where(np_dir > 0.0, tu2,
+                          jnp.where(np_dir < 0.0, td2, big)), 0.0
+            )
+            dt2 = jnp.where(np_dir == 0.0, big, dv / jnp.abs(safe2))
+            t_next = jnp.where(evm, t02, t_next)
+            dt_ax = jnp.where(evm, dt2, dt_ax)
         rem = jnp.where(ev, rem2, rem)
         seg_int = jnp.where(ev, int2, seg_int)
         srf_f = jnp.where(ev, srf2, srf_f)
@@ -563,21 +583,25 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             base, jnp.logical_or(jnp.logical_not(ends), ev)
         )
 
-        # wall crossing for lanes whose segment continues past it
-        adv = jnp.logical_and(walking, jnp.logical_not(ends))
-        selm = jnp.logical_and(t_next == c[:, None], adv[:, None])
-        firstm = jnp.cumsum(selm.astype(jnp.int32), axis=-1) == 1
-        am = jnp.logical_and(selm, firstm)
-        stepdir = jnp.where(dirc > 0.0, 1, -1).astype(jnp.int32)
-        cell = cell + jnp.where(am, stepdir, 0)
-        t_next = jnp.minimum(t_next + jnp.where(am, dt_ax, 0.0), big)
-        s_prev = jnp.where(adv, c, s_prev)
+        if cfg.record_fluence:
+            # wall crossing for lanes whose segment continues past it
+            adv = jnp.logical_and(walking, jnp.logical_not(ends))
+            selm = jnp.logical_and(t_next == c[:, None], adv[:, None])
+            firstm = jnp.cumsum(selm.astype(jnp.int32), axis=-1) == 1
+            am = jnp.logical_and(selm, firstm)
+            stepdir = jnp.where(dirc > 0.0, 1, -1).astype(jnp.int32)
+            cell = cell + jnp.where(am, stepdir, 0)
+            t_next = jnp.minimum(t_next + jnp.where(am, dt_ax, 0.0), big)
+            s_prev = jnp.where(adv, c, s_prev)
 
     pos_new = p0 + s_prev[:, None] * dirc
     seg_rem_new = jnp.maximum(rem - s_prev, 0.0)
     alive_new = jnp.logical_and(alive, jnp.logical_not(died))
-    flat_k = jnp.stack(flats, axis=-1)  # [B, K]
-    deps_k = jnp.stack(vals, axis=-1)
+    if cfg.record_fluence:
+        flat_k = jnp.stack(flats, axis=-1)  # [B, K]
+        deps_k = jnp.stack(vals, axis=-1)
+    else:
+        flat_k = deps_k = None
     if cfg.survival_bias:
         # fold the per-round absorption deposits into the same flush
         absorb_w = jnp.stack(ab_vals, axis=-1)  # [B, K]
@@ -1002,11 +1026,12 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # =====================================================================
     K = cfg.dda_substeps
     walk_mask0 = jnp.logical_and(alive, seg_rem > 0.0)
-    # detector banks and survival bias chain fine (round 3: per-event
-    # segment tests + per-interaction weight deposits inside the walk);
-    # the hit-matrix modes (escape / pMC / history) still need the full
-    # analysis phase
-    chaining = (cfg.chain_scatter and cfg.record_fluence
+    # detector banks, survival bias AND fluenceless transport chain fine
+    # (round 3: per-event segment tests + per-interaction weight
+    # deposits inside the walk; without fluence every chain round jumps
+    # a whole segment -- K events per lane per megastep); the hit-matrix
+    # modes (escape / pMC / history) still need the full analysis phase
+    chaining = (cfg.chain_scatter
                 and cfg.escape_shape[0] == 0
                 and cfg.history_len == 0 and not cfg.record_phasor
                 and cfg.inverse_prim == 0 and all(ana_mask))
@@ -1025,10 +1050,14 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
             seg_rem, seg_interact, seg_srf, seg_prim, layer, alive,
             steps, bounces, wavelength, tables, land_eps, seg_cap,
             mom_pos, mom_pos2, bank=bank)
-        jmean = tl.jmean.at[flat_k.reshape(-1)].add(deps_k.reshape(-1))
+        if cfg.record_fluence:
+            jmean = tl.jmean.at[flat_k.reshape(-1)].add(
+                deps_k.reshape(-1))
+        else:
+            jmean = tl.jmean
         phase = phase + walked_c
 
-    if not cfg.record_fluence:
+    if not cfg.record_fluence and not chaining:
         # reference without -Dpathlength: no fluence deposits; jump the
         # whole segment at once (inttau2.f90:446-462 "move the packet
         # through the grid without pathlength")

@@ -136,6 +136,35 @@ def test_chained_survival_bias_matches_plain_statistically():
     assert abs(d0 - d1) < 6 * sd, (d0, d1)
 
 
+def test_chained_fluenceless_matches_plain_statistically():
+    """Round 3: without fluence recording every chain round jumps a
+    WHOLE segment (K events per lane per megastep) -- detector-only
+    workloads get the fast path too.  Physics must match the plain
+    fluenceless jump."""
+    from rsmcrt_tpu.detectors.detectors import totals
+
+    scene, grid, src = _sphere_case()
+    out = {}
+    for chain in (False, True):
+        cfg = TransportConfig(nphotons=4000, n_lanes=512, dda_substeps=8,
+                              record_fluence=False, chain_scatter=chain)
+        t, b, n, s = simulate(scene, src, grid, jax.random.key(5), cfg,
+                              bank=_circle_bank(), chunk_steps=256)
+        assert int(n) == 4000
+        out[chain] = (float(t.nscatt) / int(n), float(totals(b)[0]),
+                      int(s), float(jnp.sum(t.absorb)))
+    ns0, d0, s0, a0 = out[False]
+    ns1, d1, s1, a1 = out[True]
+    assert s1 < s0  # chaining engaged: far fewer megasteps
+    assert abs(ns0 - ns1) / ns0 < 0.05, (ns0, ns1)
+    sd = max(np.sqrt(max(d0, 1.0)), 1.0)
+    assert abs(d0 - d1) < 5 * sd, (d0, d1)
+    sda = max(np.sqrt(max(a0, 1.0)), 1.0)
+    assert abs(a0 - a1) < 5 * sda, (a0, a1)
+    # no fluence was recorded in either mode
+    assert out is not None
+
+
 def test_chain_flag_falls_back_exactly_with_phasor():
     # phasor recording still disables chaining: the flag must then be a
     # no-op -- same program and RNG stream -> bitwise-equal tallies
