@@ -305,32 +305,69 @@ def _bin_idx_cam(cam, hx, hy):
     return idx * nb + idy
 
 
-def check_bins(bank: DetectorBank, o, d, seg_len, weight):
+def check_bins(bank: DetectorBank, o, d, seg_len, weight,
+               want_t: bool = False):
     """Hit test + bin index for every family with NO accumulation:
     ``{family: (idx [B, M] int32, w [B, M])}`` with ``w`` already masked
     by the hit (and = 1 per hit for the camera, which counts photons,
     detector_base.f90:229).  The chained DDA collects these per round and
     flushes once per megastep with :func:`flush_bins` -- a per-round
     scatter-add would cost ~10 ns/element on TPU while these are pure
-    elementwise ops."""
+    elementwise ops.  With ``want_t`` each family also carries the hit
+    distance ``t [B, M]`` along the segment (for the pMC path-length-at-
+    hit statistics)."""
     out = {}
     if bank.circle is not None:
         hit, val = bank.circle.check_hit(o, d, seg_len)
-        out["circle"] = (_bin_idx_1d(bank.circle, val),
-                         jnp.where(hit, weight[:, None], 0.0))
+        row = [_bin_idx_1d(bank.circle, val),
+               jnp.where(hit, weight[:, None], 0.0)]
+        if want_t:
+            _, t, _ = intersect_circle(bank.circle.dir, bank.circle.pos,
+                                       bank.circle.radius,
+                                       o[:, None, :], d[:, None, :])
+            row.append(jnp.where(hit, t, 0.0))
+        out["circle"] = tuple(row)
     if bank.annulus is not None:
         hit, val = bank.annulus.check_hit(o, d, seg_len)
-        out["annulus"] = (_bin_idx_1d(bank.annulus, val),
-                          jnp.where(hit, weight[:, None], 0.0))
+        row = [_bin_idx_1d(bank.annulus, val),
+               jnp.where(hit, weight[:, None], 0.0)]
+        if want_t:
+            _, t, _ = intersect_circle(bank.annulus.dir, bank.annulus.pos,
+                                       bank.annulus.r2,
+                                       o[:, None, :], d[:, None, :])
+            row.append(jnp.where(hit, t, 0.0))
+        out["annulus"] = tuple(row)
     if bank.fibre is not None:
         hit, val = bank.fibre.check_hit(o, d, seg_len)
-        out["fibre"] = (_bin_idx_1d(bank.fibre, val),
-                        jnp.where(hit, weight[:, None], 0.0))
+        row = [_bin_idx_1d(bank.fibre, val),
+               jnp.where(hit, weight[:, None], 0.0)]
+        if want_t:
+            lens_pos = (bank.fibre.pos
+                        + bank.fibre.dir * bank.fibre.frontOffset[:, None])
+            _, t, _ = intersect_circle(bank.fibre.dir, lens_pos,
+                                       bank.fibre.f1Aperture,
+                                       o[:, None, :], d[:, None, :])
+            row.append(jnp.where(hit, t, 0.0))
+        out["fibre"] = tuple(row)
     if bank.camera is not None:
         hit, (hx, hy) = bank.camera.check_hit(o, d, seg_len)
-        out["camera"] = (_bin_idx_cam(bank.camera, hx, hy),
-                         jnp.where(hit, 1.0, 0.0))
+        row = [_bin_idx_cam(bank.camera, hx, hy),
+               jnp.where(hit, 1.0, 0.0)]
+        if want_t:
+            denom_c = _dot(bank.camera.n, d[:, None, :])
+            t = _dot(bank.camera.pos - o[:, None, :],
+                     bank.camera.n) / jnp.where(denom_c != 0.0,
+                                                denom_c, 1.0)
+            row.append(jnp.where(hit, t, 0.0))
+        out["camera"] = tuple(row)
     return out
+
+
+def ordered_cols(bank: DetectorBank, fams, col: int):
+    """Stack one column of :func:`check_bins` output into config order:
+    ``[B, n_detectors]``."""
+    cols = [fams[fam][col][:, m] for fam, m in bank.order]
+    return jnp.stack(cols, axis=-1) if cols else None
 
 
 def flush_bins(bank: DetectorBank, acc) -> DetectorBank:

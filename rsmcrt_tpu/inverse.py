@@ -201,6 +201,7 @@ def _crn_fd_totals(parsed, scene_lo, scene_hi, cfg, seed, h):
 
 
 def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
+                             chain=False,
                              n_lanes=None, lr=0.1, res_dir=None,
                              verbose=True, seed=None, shape_params=None,
                              h_n=2e-2, h_shape=2e-2, find=None,
@@ -250,8 +251,12 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
         n_lanes=int(n_lanes or default_lanes(nph)),
         inverse_prim=prim_index + 1,
         # detector totals + pMC stats only: fluence deposits are the
-        # single largest cost (the scatter-add) and play no role here
+        # single largest cost (the scatter-add) and play no role here.
+        # chain=True additionally consumes events inside the walk (K per
+        # lane per megastep) -- big TPU win, but the bigger compiled
+        # program is not worth it for small CPU runs
         record_fluence=False,
+        chain_scatter=chain,
     )
 
     def build_scene_at(th):
@@ -330,7 +335,7 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
 
 def detector_gradients(input_file, nphotons=None, n_lanes=None,
                        res_dir=None, seed=None, h_n=2e-2, h_shape=2e-2,
-                       shape_param=None, want_n=False):
+                       shape_param=None, want_n=False, chain=False):
     """Per-detector totals and their gradients at the current scene
     parameters: pMC scores for (mus, mua, g), CRN central differences for
     n (``want_n``) and one shape parameter (``shape_param``).  Used for
@@ -345,6 +350,7 @@ def detector_gradients(input_file, nphotons=None, n_lanes=None,
         n_lanes=int(n_lanes or default_lanes(nph)),
         inverse_prim=prim_index + 1,
         record_fluence=False,  # detector totals + pMC stats only
+        chain_scatter=chain,
     )
     base_seed = seed if seed is not None else st.iseed
     tot, stats, launched = _forward(

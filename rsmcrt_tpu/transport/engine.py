@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from ..constants import CHANCE, THRESHOLD, TWOPI
 from ..detectors.detectors import (
-    DetectorBank, check_bins, flush_bins, record_hits,
+    DetectorBank, check_bins, flush_bins, ordered_cols, record_hits,
 )
 from ..grid import CartGrid, get_voxel, voxel_flat_index, wall_distance
 from ..sdfs import raycast
@@ -58,7 +58,7 @@ from ..sources.sources import (
 )
 from ..tally import Tallies, zero_tallies
 from .fresnel import fresnel_coeff, reflect, refract
-from .scatter import sample_hg_cost, scatter_direction
+from .scatter import hg_logpdf_dg, sample_hg_cost, scatter_direction
 
 # uniform columns per megastep: a source-kind-dependent block followed by
 # seven fixed transport columns (offsets relative to the source block end)
@@ -249,7 +249,8 @@ def _opt_lookup(tables, arr, layer, wavelength):
 def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
                  weight, tau, seg_rem, seg_interact, seg_srf, seg_prim,
                  layer, alive, steps, bounces, wavelength, tables,
-                 land_eps, seg_cap, mom_pos, mom_pos2, bank=None):
+                 land_eps, seg_cap, mom_pos, mom_pos2, bank=None,
+                 pmc=None):
     """DDA walk with in-line scatter AND Fresnel-boundary chaining.
 
     The plain DDA walks one segment per megastep: a lane whose segment
@@ -349,6 +350,14 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     # the loop (reference hit protocol: one test per straight segment,
     # inttau2.f90:195-200; analysis-phase segments were already tested)
     dect_acc = {} if bank is not None else None
+    # pMC sufficient statistics (inverse kernel): per-lane accumulators +
+    # per-detector [Sum w, Sum w*cnt, Sum w*len, Sum w*hg] rows
+    if cfg.inverse_prim > 0:
+        pmc_cnt_l, pmc_len_l, pmc_hg_l = pmc
+        pmc_stats_add = jnp.zeros((len(bank.order), 4), dtype)
+    else:
+        pmc_cnt_l = pmc_len_l = pmc_hg_l = None
+        pmc_stats_add = None
 
     for r in range(K):
         c = jnp.min(t_next, axis=-1)  # [B] next wall along the segment
@@ -534,6 +543,15 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             jnp.logical_or(do_sc, srf_cont), jnp.logical_not(over)
         )
         evm = ev[:, None]
+        if cfg.inverse_prim > 0:
+            # scatter score updates BEFORE the hit test (a hit on the
+            # new segment must see the count including this scatter,
+            # matching the analysis-phase ordering)
+            in_prim_cur = layer_l == cfg.inverse_prim
+            sc_in = jnp.logical_and(do_sc, in_prim_cur)
+            pmc_cnt_l = pmc_cnt_l + sc_in.astype(dtype)
+            pmc_hg_l = pmc_hg_l + jnp.where(
+                sc_in, hg_logpdf_dg(cost, g_l), 0.0)
         if bank is not None:
             # test each NEW segment against every detector at creation
             # (analysis-phase segments were tested by record_hits; bins
@@ -541,11 +559,30 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             fams = check_bins(
                 bank, np_pos, np_dir, jnp.where(ev, rem2, 0.0),
                 jnp.where(ev, w_l, 0.0),
+                want_t=cfg.inverse_prim > 0,
             )
-            for fam, (fi, fw) in fams.items():
+            for fam, row in fams.items():
                 acc = dect_acc.setdefault(fam, ([], []))
-                acc[0].append(fi)
-                acc[1].append(fw)
+                acc[0].append(row[0])
+                acc[1].append(row[1])
+            if cfg.inverse_prim > 0:
+                hitw = ordered_cols(bank, fams, 1)  # [B, ndect]
+                hitt = ordered_cols(bank, fams, 2)
+                in_new = (nlayer == cfg.inverse_prim)[:, None]
+                len_at_hit = pmc_len_l[:, None] + jnp.where(
+                    in_new, hitt, 0.0)
+                stats_r = jnp.stack(
+                    [hitw,
+                     hitw * pmc_cnt_l[:, None],
+                     hitw * len_at_hit,
+                     hitw * pmc_hg_l[:, None]], axis=-1)
+                pmc_stats_add = pmc_stats_add + jnp.sum(stats_r, axis=0)
+        if cfg.inverse_prim > 0:
+            # segment length attributed AFTER the hit test (hits see the
+            # path up to the hit point only, engine analysis parity)
+            pmc_len_l = pmc_len_l + jnp.where(
+                jnp.logical_and(ev, nlayer == cfg.inverse_prim),
+                rem2, 0.0)
         dirc = jnp.where(evm, np_dir, dirc)
         p0 = jnp.where(evm, np_pos, p0)
         if cfg.record_fluence:
@@ -617,7 +654,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     return (pos_new, dirc, w_l, tau_l, seg_rem_new, seg_int, srf_f,
             prim_l, layer_l, alive_new, steps_l, bounces_l, walked,
             flat_k, deps_k, absorb_w, absorb_flat, n_scat, n_inter,
-            mom_pos, mom_pos2, bank_out)
+            mom_pos, mom_pos2, bank_out,
+            (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_stats_add))
 
 
 def transport_step(carry: SimCarry, scene: Scene, source: Source,
@@ -1034,7 +1072,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     chaining = (cfg.chain_scatter
                 and cfg.escape_shape[0] == 0
                 and cfg.history_len == 0 and not cfg.record_phasor
-                and cfg.inverse_prim == 0 and all(ana_mask))
+                and all(ana_mask))
 
     mom_pos = tl.mom_pos
     mom_pos2 = tl.mom_pos2
@@ -1045,11 +1083,15 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         (pos, direction, weight, tau, seg_rem, seg_interact, seg_srf,
          seg_prim, layer, alive, steps, bounces, walked_c, flat_k,
          deps_k, ab_w_c, ab_flat_c, nsc_c, nint_c,
-         mom_pos, mom_pos2, bank) = _chained_dda(
+         mom_pos, mom_pos2, bank, pmc_out) = _chained_dda(
             scene, grid, cfg, skey, pos, direction, weight, tau,
             seg_rem, seg_interact, seg_srf, seg_prim, layer, alive,
             steps, bounces, wavelength, tables, land_eps, seg_cap,
-            mom_pos, mom_pos2, bank=bank)
+            mom_pos, mom_pos2, bank=bank,
+            pmc=(pmc_cnt, pmc_len, pmc_hg))
+        if cfg.inverse_prim > 0:
+            pmc_cnt, pmc_len, pmc_hg, pmc_add = pmc_out
+            pmc_stats = pmc_stats + pmc_add
         if cfg.record_fluence:
             jmean = tl.jmean.at[flat_k.reshape(-1)].add(
                 deps_k.reshape(-1))
@@ -1201,8 +1243,6 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         n_interactions = n_interactions + nint_c
 
     if cfg.inverse_prim > 0:
-        from .scatter import hg_logpdf_dg
-
         sc_in = jnp.logical_and(do_scatter, layer == cfg.inverse_prim)
         pmc_cnt = pmc_cnt + sc_in.astype(dtype)
         pmc_hg = pmc_hg + jnp.where(sc_in, hg_logpdf_dg(cost, g), 0.0)

@@ -165,6 +165,42 @@ def test_chained_fluenceless_matches_plain_statistically():
     assert out is not None
 
 
+def test_chained_pmc_stats_match_plain():
+    """Round 3: the pMC sufficient statistics (inverse gradients)
+    accumulate inside the chained walk too -- per-detected-photon scatter
+    count and path length must agree with the plain path."""
+    scene = S.build_scene([
+        S.sphere(1.0, mono(5.0, 0.5, 0.3, 1.0), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(24, 24, 24, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    out = {}
+    for chain in (False, True):
+        cfg = TransportConfig(nphotons=20000, n_lanes=2048,
+                              inverse_prim=1, record_fluence=False,
+                              chain_scatter=chain)
+        t, b, n, s = simulate(scene, src, grid, jax.random.key(11), cfg,
+                              bank=_circle_bank(), chunk_steps=256)
+        st = np.asarray(t.pmc_stats)[0]
+        out[chain] = (st, int(s))
+    st0, s0 = out[False]
+    st1, s1 = out[True]
+    assert s1 < s0  # chaining engaged
+    assert st0[0] > 0 and st1[0] > 0
+    # detected weight per photon agrees
+    assert abs(st0[0] - st1[0]) / st0[0] < 0.25
+    # per-detected-photon scatter count and in-prim path length:
+    # low-variance conditional means, tight gates
+    r0, r1 = st0[1:] / st0[0], st1[1:] / st1[0]
+    assert abs(r0[0] - r1[0]) / r0[0] < 0.10, (r0, r1)  # cnt
+    assert abs(r0[1] - r1[1]) / r0[1] < 0.10, (r0, r1)  # len
+    # the HG score is a heavy-tailed likelihood-ratio sum: per-run sd of
+    # the conditional mean is ~0.5 at this budget (10-seed study in the
+    # round-3 log: plain -0.90+-0.08, chain -0.74+-0.13) -- scale gate
+    assert abs(r0[2] - r1[2]) < 2.0, (r0, r1)
+
+
 def test_chain_flag_falls_back_exactly_with_phasor():
     # phasor recording still disables chaining: the flag must then be a
     # no-op -- same program and RNG stream -> bitwise-equal tallies

@@ -42,7 +42,7 @@ def main():
     )
 
     res = detector_gradients(args.config, nphotons=args.n,
-                             n_lanes=args.lanes, seed=3)
+                             n_lanes=args.lanes, seed=3, chain=True)
     parsed, scene, cfg, pi = (res["parsed"], res["scene"], res["cfg"],
                               res["prim_index"])
     i = pi + 1
