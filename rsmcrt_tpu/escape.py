@@ -152,6 +152,10 @@ def compute_escape_symmetry(parsed, scene, n_lanes=None, seed=None,
         # escape functions only need detector totals, not the fluence map
         # -- whole-segment jumps, no deposit scatters
         record_fluence=False,
+        # chained event walk (K whole-segment events per lane per
+        # megastep, hit weights accumulated in-chain); falls back to the
+        # plain walk automatically on non-analytic scenes
+        chain_scatter=True,
     )
     key = jax.random.key(seed if seed is not None else st.iseed)
     tallies, bank_out, launched, steps = simulate(

@@ -105,10 +105,23 @@ class TransportConfig:
     # analytic surface (Fresnel reflect/refract/cross) consumes the
     # event in place and keeps walking within the same dda_substeps
     # budget (see ``_chained_dda``).  Needs a fully analytic scene and
-    # no history/phasor/pMC/escape (detector banks and survival bias DO
-    # chain); silently falls back to the plain walk otherwise.
+    # no history/phasor (detector banks, survival bias, pMC statistics
+    # and escape-function attribution DO chain); silently falls back to
+    # the plain walk otherwise.
     # Identical physics; slot utilisation ~1.0 vs ~0.6 unchained.
     chain_scatter: bool = False
+    # in-chain respawn: a lane whose photon DIES inside the chained DDA
+    # walk immediately relaunches a fresh photon from a per-megastep
+    # precomputed source candidate (at most one per lane per megastep)
+    # instead of idling its remaining deposit slots until the next
+    # analysis phase.  Keeps slot utilisation ~1 at any dda_substeps so
+    # deep walks amortise the fixed megastep cost.  Physics identical:
+    # the candidate is an ordinary source sample from an independent RNG
+    # block and the launch budget stays exact (in-chain respawn switches
+    # off within one wavefront of the photon budget).  Auto-disabled
+    # with record_emission / qmc_source (those need the analysis-phase
+    # respawn bookkeeping).
+    chain_respawn: bool = True
     # sphere-trace iterations folded into one megastep (the reference's
     # inner march loop, inttau2.f90:155-192).  Each costs one batched
     # eval_scene; without it a photon creeping toward an SDF surface pays
@@ -248,9 +261,9 @@ def _opt_lookup(tables, arr, layer, wavelength):
 
 def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
                  weight, tau, seg_rem, seg_interact, seg_srf, seg_prim,
-                 layer, alive, steps, bounces, wavelength, tables,
+                 layer, alive, steps, bounces, wavelength, phase, tables,
                  land_eps, seg_cap, mom_pos, mom_pos2, bank=None,
-                 pmc=None):
+                 pmc=None, respawn=None):
     """DDA walk with in-line scatter AND Fresnel-boundary chaining.
 
     The plain DDA walks one segment per megastep: a lane whose segment
@@ -279,8 +292,11 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     incrementally (the crossing axis advances the integer cell by +-1),
     replacing midpoint ``get_voxel`` math.  Detector banks are tested
     per new segment (``check_bins`` + one dense flush); survival bias
-    deposits w*(1-albedo) per interaction into a per-round pair list.
-    Requires: fully analytic scene, no history/phasor/pMC/escape --
+    deposits w*(1-albedo) per interaction into a per-round pair list;
+    escape-function hit weights accumulate densely per lane; pMC
+    sufficient statistics update per event.  A lane whose photon dies
+    consumes its per-megastep respawn candidate in place (``respawn``).
+    Requires: fully analytic scene, no history/phasor --
     ``transport_step`` falls back to the plain walk otherwise.
     """
     dtype = pos.dtype
@@ -314,6 +330,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     layer_l = layer
     w_l = weight
     bounces_l = bounces
+    wavelength_l = wavelength
+    phase_l = phase
     pc = p0 + half  # corner-origin coordinates
     cellf = jnp.floor(pc / dv)
     cell = cellf.astype(jnp.int32)  # [B, 3]
@@ -335,11 +353,20 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     s_prev = jnp.zeros((B,), dtype)
 
     died = jnp.zeros((B,), bool)
-    absorb_w = jnp.zeros((B,), dtype)
-    absorb_flat = jnp.zeros((B,), jnp.int32)
+    # analog absorption record slots: with in-chain respawn a lane can
+    # carry more than one photon per megastep, and each analog photon
+    # absorbs at most once -- two single-slot records cover every case
+    # because respawn is blocked once both slots are used (unbiased by
+    # construction, not by rarity)
+    absorb_w0 = jnp.zeros((B,), dtype)
+    absorb_flat0 = jnp.zeros((B,), jnp.int32)
+    absorb_w1 = jnp.zeros((B,), dtype)
+    absorb_flat1 = jnp.zeros((B,), jnp.int32)
+    n_ab = jnp.zeros((B,), jnp.int32)
     n_scat = jnp.zeros((), jnp.int32)
     n_inter = jnp.zeros((), jnp.int32)
-    walked = jnp.zeros((B,), dtype)
+    n_resp = jnp.zeros((), jnp.int32)
+    cand_used = jnp.zeros((B,), bool)
     steps_l = steps
     tau_l = tau
     flats, vals = [], []
@@ -350,6 +377,12 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     # the loop (reference hit protocol: one test per straight segment,
     # inttau2.f90:195-200; analysis-phase segments were already tested)
     dect_acc = {} if bank is not None else None
+    # current-layer optical properties are consumed together every round:
+    # pack them so the per-round lookup is ONE gather of [B, 4] instead
+    # of four separate tiny-table gathers
+    opt_pack = jnp.stack(
+        [tables.kappa, tables.albedo, tables.hgg, tables.n], axis=-1
+    )
     # pMC sufficient statistics (inverse kernel): per-lane accumulators +
     # per-detector [Sum w, Sum w*cnt, Sum w*len, Sum w*hg] rows
     if cfg.inverse_prim > 0:
@@ -358,6 +391,15 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     else:
         pmc_cnt_l = pmc_len_l = pmc_hg_l = None
         pmc_stats_add = None
+    # escape-function mode: per-lane per-detector hit weights accumulate
+    # densely across rounds (sid is constant per lane within a megastep:
+    # in-chain respawn is disabled in escape mode) and are flushed into
+    # escape_tot with ONE sid-keyed scatter per megastep -- the chained
+    # version of the analysis-phase attribution (kernelsMod.f90:623-640)
+    if cfg.escape_shape[0] > 0:
+        hit_acc = jnp.zeros((B, len(bank.order)), dtype)
+    else:
+        hit_acc = None
 
     for r in range(K):
         c = jnp.min(t_next, axis=-1)  # [B] next wall along the segment
@@ -396,9 +438,10 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         w_dep = w_l  # weight before any roulette reweight this round
 
         # --- per-round optical properties of the CURRENT layer ----------
-        kappa_l = _opt_lookup(tables, tables.kappa, layer_l, wavelength)
-        albedo_l = _opt_lookup(tables, tables.albedo, layer_l, wavelength)
-        g_l = _opt_lookup(tables, tables.hgg, layer_l, wavelength)
+        o_cur = _opt_lookup(tables, opt_pack, layer_l, wavelength_l)
+        kappa_l, albedo_l, g_l, n1 = (
+            o_cur[:, 0], o_cur[:, 1], o_cur[:, 2], o_cur[:, 3]
+        )
 
         # --- interaction events (tau exhausted) -------------------------
         if not cfg.survival_bias:
@@ -407,8 +450,13 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             do_sc = jnp.logical_and(inter, u_r[:, 0] < albedo_l)
             do_ab = jnp.logical_and(inter, jnp.logical_not(do_sc))
             ab_ok = jnp.logical_and(do_ab, valid)
-            absorb_w = jnp.where(ab_ok, w_l, absorb_w)
-            absorb_flat = jnp.where(ab_ok, flat, absorb_flat)
+            slot0 = jnp.logical_and(ab_ok, n_ab == 0)
+            slot1 = jnp.logical_and(ab_ok, n_ab == 1)
+            absorb_w0 = jnp.where(slot0, w_l, absorb_w0)
+            absorb_flat0 = jnp.where(slot0, flat, absorb_flat0)
+            absorb_w1 = jnp.where(slot1, w_l, absorb_w1)
+            absorb_flat1 = jnp.where(slot1, flat, absorb_flat1)
+            n_ab = n_ab + ab_ok.astype(jnp.int32)
             died = jnp.logical_or(died, do_ab)
         else:
             # survival bias (kernelsMod.f90:2036-2066): deposit
@@ -438,8 +486,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         crossing = jnp.logical_and(
             srf, jnp.logical_and(new_layer != layer_l, new_layer != 0)
         )
-        n1 = _opt_lookup(tables, tables.n, layer_l, wavelength)
-        n2 = _opt_lookup(tables, tables.n, new_layer, wavelength)
+        n2 = _opt_lookup(tables, tables.n, new_layer, wavelength_l)
         needf = jnp.logical_and(crossing, n1 != n2)
         ri = fresnel_coeff(dirc, nvec, n1, n2)
         refl = jnp.logical_and(needf, u_r[:, 0] <= ri)
@@ -473,7 +520,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
                             dep_len * w_dep, 0.0)
             flats.append(flat)
             vals.append(dep)
-        walked = walked + jnp.where(walking, dep_len, 0.0)
+        phase_l = phase_l + jnp.where(walking, dep_len, 0.0)
 
         # --- continuation: scatter + surviving surface lanes ------------
         cost = sample_hg_cost(u_r[:, 1], g_l)
@@ -496,16 +543,50 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             new_layer, layer_l,
         )
 
+        # --- in-chain respawn: a lane that died this megastep relaunches
+        # its precomputed source candidate in place (once per megastep;
+        # blocked when both analog absorb slots are used so no absorption
+        # record can ever be dropped).  The overridden (np_pos, np_dir,
+        # nlayer, tau) flow through the shared new-segment raycast below
+        # exactly like a scatter or Fresnel continuation.
+        resp = jnp.zeros((B,), bool)
+        if respawn is not None:
+            r_pos, r_dir, r_tau, r_layer, r_phase, r_wl, r_ok = respawn
+            resp = jnp.logical_and(
+                jnp.logical_and(died, r_ok),
+                jnp.logical_not(cand_used),
+            )
+            if not cfg.survival_bias:
+                resp = jnp.logical_and(resp, n_ab < 2)
+            cand_used = jnp.logical_or(cand_used, resp)
+            died = jnp.logical_and(died, jnp.logical_not(resp))
+            n_resp = n_resp + jnp.sum(resp, dtype=jnp.int32)
+            rm = resp[:, None]
+            np_dir = jnp.where(rm, r_dir, np_dir)
+            np_pos = jnp.where(rm, r_pos, np_pos)
+            nlayer = jnp.where(resp, r_layer, nlayer)
+            w_l = jnp.where(resp, jnp.asarray(1.0, dtype), w_l)
+            bounces_l = jnp.where(resp, 0, bounces_l)
+            steps_l = jnp.where(resp, 0, steps_l)
+            wavelength_l = jnp.where(resp, r_wl, wavelength_l)
+            phase_l = jnp.where(resp, r_phase, phase_l)
+            if cfg.inverse_prim > 0:
+                pmc_cnt_l = jnp.where(resp, 0.0, pmc_cnt_l)
+                pmc_len_l = jnp.where(resp, 0.0, pmc_len_l)
+                pmc_hg_l = jnp.where(resp, 0.0, pmc_hg_l)
+
         newtau = -jnp.log(u_r[:, 3])
         # the crossing nudge is charged at the NEW medium's kappa, like
         # the analysis phase (layer updated before the tau deduction)
-        kappa2 = _opt_lookup(tables, tables.kappa, nlayer, wavelength)
+        kappa2 = _opt_lookup(tables, tables.kappa, nlayer, wavelength_l)
         tau_ev = jnp.where(
             do_sc, newtau,
             jnp.where(trans,
                       jnp.maximum(tau_l - delta_cross * kappa2, 0.0),
                       tau_l),
         )
+        if respawn is not None:
+            tau_ev = jnp.where(resp, r_tau, tau_ev)
         t_ana, hidx = raycast.ray_bound_idx(scene, np_pos, np_dir)
         avail2 = jnp.where(jnp.isfinite(t_ana), t_ana - land_eps, inf)
         tau_dist2 = jnp.where(kappa2 > 0.0,
@@ -539,8 +620,11 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             over = jnp.logical_and(do_sc, steps2 > cfg.max_scatter_order)
             died = jnp.logical_or(died, over)
 
-        ev = jnp.logical_and(
-            jnp.logical_or(do_sc, srf_cont), jnp.logical_not(over)
+        ev = jnp.logical_or(
+            jnp.logical_and(
+                jnp.logical_or(do_sc, srf_cont), jnp.logical_not(over)
+            ),
+            resp,
         )
         evm = ev[:, None]
         if cfg.inverse_prim > 0:
@@ -565,6 +649,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
                 acc = dect_acc.setdefault(fam, ([], []))
                 acc[0].append(row[0])
                 acc[1].append(row[1])
+            if cfg.escape_shape[0] > 0:
+                hit_acc = hit_acc + ordered_cols(bank, fams, 1)
             if cfg.inverse_prim > 0:
                 hitw = ordered_cols(bank, fams, 1)  # [B, ndect]
                 hitt = ordered_cols(bank, fams, 2)
@@ -592,6 +678,12 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             # voxels)
             pc2 = np_pos + half
             cellf2 = cell.astype(dtype)
+            if respawn is not None:
+                # a respawned lane teleports to the source: the tracked
+                # cell (authoritative for in-place events) must be
+                # recomputed from the candidate position
+                cellf2 = jnp.where(rm, jnp.floor(pc2 / dv), cellf2)
+                cell = jnp.where(rm, cellf2.astype(jnp.int32), cell)
             safe2 = jnp.where(np_dir == 0.0, 1.0, np_dir)
             tu2 = ((cellf2 + 1.0) * dv - pc2) / safe2
             td2 = (cellf2 * dv - pc2) / safe2
@@ -611,13 +703,19 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         steps_l = jnp.where(do_sc, steps2, steps_l)
         s_prev = jnp.where(ev, 0.0, s_prev)
 
-        fin = jnp.logical_or(
-            plainx,
-            jnp.logical_or(do_ab, jnp.logical_or(over, srf_die)),
+        fin = jnp.logical_and(
+            jnp.logical_or(
+                plainx,
+                jnp.logical_or(do_ab, jnp.logical_or(over, srf_die)),
+            ),
+            jnp.logical_not(resp),  # respawned lanes start a new segment
         )
         s_prev = jnp.where(fin, rem, s_prev)
-        walking = jnp.logical_and(
-            base, jnp.logical_or(jnp.logical_not(ends), ev)
+        walking = jnp.logical_or(
+            jnp.logical_and(
+                base, jnp.logical_or(jnp.logical_not(ends), ev)
+            ),
+            resp,  # incl. lanes that exited the grid and relaunched
         )
 
         if cfg.record_fluence:
@@ -643,6 +741,9 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         # fold the per-round absorption deposits into the same flush
         absorb_w = jnp.stack(ab_vals, axis=-1)  # [B, K]
         absorb_flat = jnp.stack(ab_flats, axis=-1)
+    else:
+        absorb_w = jnp.stack([absorb_w0, absorb_w1], axis=-1)  # [B, 2]
+        absorb_flat = jnp.stack([absorb_flat0, absorb_flat1], axis=-1)
     bank_out = bank
     if bank is not None and dect_acc:
         acc = {
@@ -652,9 +753,9 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         }
         bank_out = flush_bins(bank, acc)
     return (pos_new, dirc, w_l, tau_l, seg_rem_new, seg_int, srf_f,
-            prim_l, layer_l, alive_new, steps_l, bounces_l, walked,
-            flat_k, deps_k, absorb_w, absorb_flat, n_scat, n_inter,
-            mom_pos, mom_pos2, bank_out,
+            prim_l, layer_l, alive_new, steps_l, bounces_l, wavelength_l,
+            phase_l, n_resp, flat_k, deps_k, absorb_w, absorb_flat,
+            n_scat, n_inter, mom_pos, mom_pos2, bank_out, hit_acc,
             (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_stats_add))
 
 
@@ -1070,7 +1171,6 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # a whole segment -- K events per lane per megastep); the hit-matrix
     # modes (escape / pMC / history) still need the full analysis phase
     chaining = (cfg.chain_scatter
-                and cfg.escape_shape[0] == 0
                 and cfg.history_len == 0 and not cfg.record_phasor
                 and all(ana_mask))
 
@@ -1080,15 +1180,51 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     nscatt = tl.nscatt
 
     if chaining:
+        respawn_cand = None
+        if (cfg.chain_respawn and not cfg.record_emission
+                and not cfg.qmc_source and cfg.escape_shape[0] == 0):
+            # per-megastep source candidate for in-chain respawn: an
+            # ordinary source sample from an independent uniform block
+            # (one candidate per lane per megastep; unused candidates
+            # are plain discarded draws).  Disabled within one wavefront
+            # of the photon budget so the launch count stays exact.
+            rkey = jax.random.fold_in(skey, 0xC4AD)
+            u_rsp = jax.random.uniform(
+                rkey, (B, n_src_u + 1), dtype=dtype,
+                minval=1e-12, maxval=1.0,
+            )
+            r_pos, r_dir, r_phase, r_wl = sample_source(
+                source, grid, u_rsp[:, :n_src_u]
+            )
+            r_tau = -jnp.log(u_rsp[:, n_src_u])
+            r_layer = scene_layer(eval_scene(scene, r_pos))
+            _, r_vok = voxel_flat_index(grid, get_voxel(grid, r_pos))
+            allow = (launched + B) <= jnp.asarray(nphotons, jnp.int32)
+            r_ok = jnp.logical_and(
+                jnp.logical_and(r_layer > 0, r_vok), allow
+            )
+            respawn_cand = (r_pos, r_dir, r_tau, r_layer, r_phase,
+                            r_wl, r_ok)
         (pos, direction, weight, tau, seg_rem, seg_interact, seg_srf,
-         seg_prim, layer, alive, steps, bounces, walked_c, flat_k,
-         deps_k, ab_w_c, ab_flat_c, nsc_c, nint_c,
-         mom_pos, mom_pos2, bank, pmc_out) = _chained_dda(
+         seg_prim, layer, alive, steps, bounces, wavelength, phase,
+         n_resp_c, flat_k, deps_k, ab_w_c, ab_flat_c, nsc_c, nint_c,
+         mom_pos, mom_pos2, bank, hit_acc_c, pmc_out) = _chained_dda(
             scene, grid, cfg, skey, pos, direction, weight, tau,
             seg_rem, seg_interact, seg_srf, seg_prim, layer, alive,
-            steps, bounces, wavelength, tables, land_eps, seg_cap,
-            mom_pos, mom_pos2, bank=bank,
-            pmc=(pmc_cnt, pmc_len, pmc_hg))
+            steps, bounces, wavelength, phase, tables, land_eps,
+            seg_cap, mom_pos, mom_pos2, bank=bank,
+            pmc=(pmc_cnt, pmc_len, pmc_hg), respawn=respawn_cand)
+        launched = launched + n_resp_c
+        if cfg.escape_shape[0] > 0:
+            # flush the per-lane hit accumulator into the sid-attributed
+            # escape totals (one scatter per megastep, same layout as the
+            # analysis-phase flush above)
+            ndect = cfg.escape_shape[1]
+            flat_sid = (sid[:, None] * ndect
+                        + jnp.arange(ndect)[None, :])
+            escape_tot = escape_tot.reshape(-1).at[
+                flat_sid.reshape(-1)
+            ].add(hit_acc_c.reshape(-1)).reshape(escape_tot.shape)
         if cfg.inverse_prim > 0:
             pmc_cnt, pmc_len, pmc_hg, pmc_add = pmc_out
             pmc_stats = pmc_stats + pmc_add
@@ -1097,7 +1233,6 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                 deps_k.reshape(-1))
         else:
             jmean = tl.jmean
-        phase = phase + walked_c
 
     if not cfg.record_fluence and not chaining:
         # reference without -Dpathlength: no fluence deposits; jump the

@@ -165,6 +165,38 @@ def test_chained_fluenceless_matches_plain_statistically():
     assert out is not None
 
 
+def test_chained_escape_matches_plain_statistically():
+    """Round 3: escape-function attribution chains (per-round hit
+    weights accumulate densely per lane keyed by the lane's source
+    voxel).  Per-source-voxel detection efficiencies must agree with the
+    plain walk."""
+    from rsmcrt_tpu.sources.sources import Source
+
+    scene, grid, _ = _sphere_case()
+    positions = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 0.4]],
+                            jnp.float32)
+    src = Source(kind="escape_points", params={"positions": positions})
+    out = {}
+    for chain in (False, True):
+        cfg = TransportConfig(nphotons=8000, n_lanes=512, dda_substeps=8,
+                              record_fluence=False,
+                              escape_shape=(2, 1), chain_scatter=chain)
+        t, b, n, s = simulate(scene, src, grid, jax.random.key(9), cfg,
+                              bank=_circle_bank(), chunk_steps=256)
+        assert int(n) == 8000
+        out[chain] = (np.asarray(t.escape_tot), int(s))
+    e0, s0 = out[False]
+    e1, s1 = out[True]
+    assert s1 < s0  # chaining engaged
+    assert e0.shape == e1.shape == (2, 1)
+    for m in range(2):
+        sd = max(np.sqrt(max(e0[m, 0], 1.0)), 1.0)
+        assert abs(e0[m, 0] - e1[m, 0]) < 5 * sd, (m, e0, e1)
+    # the off-centre voxel sees a different efficiency (attribution is
+    # really per source voxel, not pooled)
+    assert e1[0, 0] != e1[1, 0]
+
+
 def test_chained_pmc_stats_match_plain():
     """Round 3: the pMC sufficient statistics (inverse gradients)
     accumulate inside the chained walk too -- per-detected-photon scatter
@@ -177,28 +209,38 @@ def test_chained_pmc_stats_match_plain():
     src = build_source("point", position=[0.0, 0.0, 0.0])
     out = {}
     for chain in (False, True):
-        cfg = TransportConfig(nphotons=20000, n_lanes=2048,
-                              inverse_prim=1, record_fluence=False,
-                              chain_scatter=chain)
-        t, b, n, s = simulate(scene, src, grid, jax.random.key(11), cfg,
-                              bank=_circle_bank(), chunk_steps=256)
-        st = np.asarray(t.pmc_stats)[0]
-        out[chain] = (st, int(s))
+        # pooled over seeds: only ~160 photons/run reach the detector, so
+        # single-run conditional means swing ~6% (cnt) and ~+-1.8 (hg) --
+        # a 10% single-seed gate is ~1.5 sigma, i.e. flaky by
+        # construction (it tripped when in-chain respawn shifted the RNG
+        # realisation; a 3-seed plain-vs-plain study shows the same
+        # spread with no code change)
+        st = np.zeros(4)
+        steps = 0
+        for seed in (11, 12, 13):
+            cfg = TransportConfig(nphotons=20000, n_lanes=2048,
+                                  inverse_prim=1, record_fluence=False,
+                                  chain_scatter=chain)
+            t, b, n, s = simulate(scene, src, grid, jax.random.key(seed),
+                                  cfg, bank=_circle_bank(),
+                                  chunk_steps=256)
+            st += np.asarray(t.pmc_stats)[0]
+            steps += int(s)
+        out[chain] = (st, steps)
     st0, s0 = out[False]
     st1, s1 = out[True]
     assert s1 < s0  # chaining engaged
     assert st0[0] > 0 and st1[0] > 0
     # detected weight per photon agrees
-    assert abs(st0[0] - st1[0]) / st0[0] < 0.25
-    # per-detected-photon scatter count and in-prim path length:
-    # low-variance conditional means, tight gates
+    assert abs(st0[0] - st1[0]) / st0[0] < 0.20
+    # per-detected-photon scatter count and in-prim path length: pooled
+    # conditional means (N ~ 480 detected photons per config)
     r0, r1 = st0[1:] / st0[0], st1[1:] / st1[0]
-    assert abs(r0[0] - r1[0]) / r0[0] < 0.10, (r0, r1)  # cnt
-    assert abs(r0[1] - r1[1]) / r0[1] < 0.10, (r0, r1)  # len
-    # the HG score is a heavy-tailed likelihood-ratio sum: per-run sd of
-    # the conditional mean is ~0.5 at this budget (10-seed study in the
-    # round-3 log: plain -0.90+-0.08, chain -0.74+-0.13) -- scale gate
-    assert abs(r0[2] - r1[2]) < 2.0, (r0, r1)
+    assert abs(r0[0] - r1[0]) / r0[0] < 0.08, (r0, r1)  # cnt
+    assert abs(r0[1] - r1[1]) / r0[1] < 0.08, (r0, r1)  # len
+    # the HG score is a heavy-tailed likelihood-ratio sum: pooled sd of
+    # the conditional mean is ~0.4 at this budget -- scale gate
+    assert abs(r0[2] - r1[2]) < 1.3, (r0, r1)
 
 
 def test_chain_flag_falls_back_exactly_with_phasor():
