@@ -240,8 +240,17 @@ def _ring_write(history, slot, entry, H):
 
 
 def _take_col(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """a [B, N], idx [B] -> a[b, idx[b]] with idx clipped."""
-    idx = jnp.clip(idx, 0, a.shape[-1] - 1)
+    """a [B, N], idx [B] -> a[b, idx[b]] with idx clipped.
+
+    Small N expands into a select chain (fuses; a take_along_axis is a
+    kernel boundary on TPU)."""
+    N = a.shape[-1]
+    idx = jnp.clip(idx, 0, N - 1)
+    if N <= 8:
+        out = a[:, 0]
+        for i in range(1, N):
+            out = jnp.where(idx == i, a[:, i], out)
+        return out
     return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
 
 
@@ -249,8 +258,22 @@ def _opt_lookup(tables, arr, layer, wavelength):
     """Per-lane optical property lookup: 1D ``arr[N+1]`` for mono scenes,
     2D ``arr[W, N+1]`` binned by photon wavelength for spectral scenes
     (per-photon spectral transport; the reference never couples its
-    spectral type into transport, piecewise.f90:13 note)."""
+    spectral type into transport, piecewise.f90:13 note).
+
+    Small mono tables expand into a select chain instead of a gather:
+    gathers break XLA fusion inside the unrolled chain rounds (each one
+    is a kernel boundary + HBM round trip of the [B] operands), while a
+    handful of ``where``s fuse into the surrounding elementwise work."""
     if tables.wavelengths is None:
+        n_rows = arr.shape[0]
+        if n_rows <= 8:
+            out = jnp.broadcast_to(arr[0], layer.shape + arr.shape[1:])
+            for i in range(1, n_rows):
+                sel = layer == i
+                if arr.ndim > 1:
+                    sel = sel.reshape(sel.shape + (1,) * (arr.ndim - 1))
+                out = jnp.where(sel, arr[i], out)
+            return out
         return arr[layer]
     W = tables.wavelengths.shape[0]
     wbin = jnp.clip(
@@ -947,9 +970,14 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # tetrahedron FD normal of the crossed prim only: gather its 4 tap
     # values, then combine (cheaper than forming normals for all N prims)
     nidx = jnp.clip(bprim - 1, 0, scene.n_prims - 1)
-    taps = jnp.take_along_axis(
-        ev5[:, 1:5, :], nidx[:, None, None], axis=2
-    )[..., 0]  # [B, 4]
+    if scene.n_prims <= 8:  # select chain fuses (gathers do not)
+        taps = ev5[:, 1:5, 0]
+        for i in range(1, scene.n_prims):
+            taps = jnp.where((nidx == i)[:, None], ev5[:, 1:5, i], taps)
+    else:
+        taps = jnp.take_along_axis(
+            ev5[:, 1:5, :], nidx[:, None, None], axis=2
+        )[..., 0]  # [B, 4]
     nvec = sum(taps[:, k:k + 1] * tet[k] for k in range(4))  # [B, 3]
     # +1e-30: finite reverse-mode gradient at the zero vector (a plain
     # norm's vjp is 0*inf = NaN there, poisoning jax.grad of the step)

@@ -165,6 +165,19 @@ def test_chained_fluenceless_matches_plain_statistically():
     assert out is not None
 
 
+def test_chain_respawn_budget_exact():
+    """In-chain respawn must keep the launch budget exact for budgets
+    around and below the wavefront width (respawn disables itself within
+    one wavefront of the budget; the analysis phase fills the rest)."""
+    scene, grid, src = _sphere_case()
+    for nph in (300, 512, 700, 1300):
+        cfg = TransportConfig(nphotons=nph, n_lanes=512, dda_substeps=8,
+                              chain_scatter=True)
+        _, _, n, _ = simulate(scene, src, grid, jax.random.key(2), cfg,
+                              chunk_steps=256)
+        assert int(n) == nph, (nph, int(n))
+
+
 def test_chained_escape_matches_plain_statistically():
     """Round 3: escape-function attribution chains (per-round hit
     weights accumulate densely per lane keyed by the lane's source
