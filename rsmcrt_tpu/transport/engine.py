@@ -1351,8 +1351,12 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # segment forever.
     # =====================================================================
     if chaining:
-        absorb = absorb.at[ab_flat_c].add(ab_w_c)
         nscatt = nscatt + nsc_c.astype(dtype)
+        if cfg.survival_bias:
+            absorb = absorb.at[ab_flat_c].add(ab_w_c)
+        # analog chain-slot deposits are folded into phase 3's absorb
+        # scatter below (one [B,2] scatter per megastep instead of two
+        # kernels)
     seg_done = seg_rem <= 0.0
     interact = jnp.logical_and(
         jnp.logical_and(alive, seg_done), seg_interact
@@ -1376,10 +1380,21 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         do_scatter = jnp.logical_and(interact, u[:, _U_ALBEDO] < albedo)
         do_absorb = jnp.logical_and(interact,
                                     jnp.logical_not(do_scatter))
-        absorb = absorb.at[vox_now].add(
-            jnp.where(jnp.logical_and(do_absorb, vox_now_valid),
-                      weight, 0.0)
-        )
+        ab_w_ph3 = jnp.where(jnp.logical_and(do_absorb, vox_now_valid),
+                             weight, 0.0)
+        if chaining:
+            # the chain's second absorb slot and the phase-3 leftover are
+            # mutually exclusive per lane (a lane with both slots used
+            # died on its second photon and cannot be alive here), so
+            # they share a scatter column
+            flat2 = jnp.where(ab_w_c[:, 1] > 0.0, ab_flat_c[:, 1],
+                              vox_now)
+            absorb = absorb.at[
+                jnp.stack([ab_flat_c[:, 0], flat2], axis=-1)
+            ].add(jnp.stack([ab_w_c[:, 0], ab_w_c[:, 1] + ab_w_ph3],
+                            axis=-1))
+        else:
+            absorb = absorb.at[vox_now].add(ab_w_ph3)
         died_interact = do_absorb
     else:
         # reference survivalBiasPropagation (kernelsMod.f90:2036-2066)
