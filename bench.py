@@ -63,13 +63,14 @@ def main_sharded():
     devices = jax.devices()
     n_dev = len(devices)
     mesh = Mesh(np.array(devices), ("dp",))
+    from rsmcrt_tpu.kernels import fast_path_defaults
+
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 512
     nphotons = (1_000_000 if on_tpu else 2_000) * n_dev
     chunk = 96 if not on_tpu else 48
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=64 if on_tpu else 8,
-                          chain_scatter=True)
+                          **fast_path_defaults())
 
     # warmup compiles the chunk program (same shapes, traced budget)
     simulate_sharded_chunked(scene, src, grid, jax.random.key(0), cfg,
@@ -126,18 +127,20 @@ def main(with_detector: bool = False):
     scene, grid, src = bench_case()
     bank = bench_bank() if with_detector else None
 
+    from rsmcrt_tpu.kernels import fast_path_defaults
+
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 2048
     # 4M budget: the straggler tail (one serial photon chain, fixed cost)
     # amortises over the photon count
     nphotons = 4_000_000 if on_tpu else 4_000
-    # K=64: with Fresnel chaining slot utilisation stays ~1.0, so deep
-    # walks amortise the fixed megastep cost (tools/profile_chain.py r3:
-    # 174.7k @ K=16 -> 215.5k @ K=64 main-phase)
     chunk = 48
     min_lanes = 64
+    # the bench runs the PRODUCT transport configuration (same chaining /
+    # dda_substeps knobs + emission recording as kernels.run_MCRT), so
+    # the headline number is what default_MCRT users actually get
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
-                          dda_substeps=64, chain_scatter=True)
+                          record_emission=True, **fast_path_defaults())
 
     # compile every program of the tail-shrink ladder before timing
     warmup(scene, src, grid, jax.random.key(0), cfg, bank=bank,

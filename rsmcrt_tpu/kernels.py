@@ -43,6 +43,21 @@ def default_lanes(nphotons: int) -> int:
     return max(lanes, 256)
 
 
+def fast_path_defaults() -> dict:
+    """Backend-tuned fast-path transport knobs shared by the product
+    kernels AND bench.py, so the default user path IS the benchmarked
+    path (the reference runs one hot loop for everyone,
+    kernelsMod.f90:1790).  Chaining falls back to the plain walk
+    silently when a scene/feature cannot chain."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return {
+        "chain_scatter": True,
+        # K=64 amortises the fixed megastep cost on TPU (chained slot
+        # utilisation stays ~1.0); small K keeps CPU compiles fast
+        "dda_substeps": 64 if on_tpu else 8,
+    }
+
+
 @dataclass
 class SimResult:
     parsed: ParsedConfig
@@ -101,6 +116,7 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
         max_tracks=4096 if track_history else 0,
         roulette_bounces=st.roulette_bounces,
         roulette_chance=st.roulette_chance,
+        **fast_path_defaults(),
     )
     key = jax.random.key(seed if seed is not None else st.iseed)
 

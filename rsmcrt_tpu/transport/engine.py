@@ -117,10 +117,12 @@ class TransportConfig:
     # analysis phase.  Keeps slot utilisation ~1 at any dda_substeps so
     # deep walks amortise the fixed megastep cost.  Physics identical:
     # the candidate is an ordinary source sample from an independent RNG
-    # block and the launch budget stays exact (in-chain respawn switches
-    # off within one wavefront of the photon budget).  Auto-disabled
-    # with record_emission / qmc_source (those need the analysis-phase
-    # respawn bookkeeping).
+    # block, candidates sampled outside the medium/grid are consumed AND
+    # charged to the budget (launch-and-kill, same normalisation as the
+    # analysis-phase respawn), and the launch budget stays exact
+    # (in-chain respawn switches off within one wavefront of the photon
+    # budget).  Auto-disabled with qmc_source (which needs the
+    # analysis-phase photon-index bookkeeping).
     chain_respawn: bool = True
     # sphere-trace iterations folded into one megastep (the reference's
     # inner march loop, inttau2.f90:155-192).  Each costs one batched
@@ -574,16 +576,23 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         # exactly like a scatter or Fresnel continuation.
         resp = jnp.zeros((B,), bool)
         if respawn is not None:
-            r_pos, r_dir, r_tau, r_layer, r_phase, r_wl, r_ok = respawn
-            resp = jnp.logical_and(
-                jnp.logical_and(died, r_ok),
+            (r_pos, r_dir, r_tau, r_layer, r_phase, r_wl, r_good,
+             r_allow) = respawn
+            # launch-and-count: a candidate sampled outside the medium or
+            # grid is consumed AND charged to the budget (killed on
+            # arrival), exactly like the analysis-phase respawn -- one
+            # run uses one per-photon normalisation regardless of which
+            # path launched each photon
+            resp_try = jnp.logical_and(
+                jnp.logical_and(died, r_allow),
                 jnp.logical_not(cand_used),
             )
             if not cfg.survival_bias:
-                resp = jnp.logical_and(resp, n_ab < 2)
-            cand_used = jnp.logical_or(cand_used, resp)
+                resp_try = jnp.logical_and(resp_try, n_ab < 2)
+            resp = jnp.logical_and(resp_try, r_good)
+            cand_used = jnp.logical_or(cand_used, resp_try)
             died = jnp.logical_and(died, jnp.logical_not(resp))
-            n_resp = n_resp + jnp.sum(resp, dtype=jnp.int32)
+            n_resp = n_resp + jnp.sum(resp_try, dtype=jnp.int32)
             rm = resp[:, None]
             np_dir = jnp.where(rm, r_dir, np_dir)
             np_pos = jnp.where(rm, r_pos, np_pos)
@@ -742,8 +751,16 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         )
 
         if cfg.record_fluence:
-            # wall crossing for lanes whose segment continues past it
-            adv = jnp.logical_and(walking, jnp.logical_not(ends))
+            # wall crossing for lanes whose segment continues past it.
+            # Respawned lanes are excluded: their ``ends`` flag belongs to
+            # the photon that just died (a grid-exit death can fire with
+            # ends=False), and their re-anchored t_next stream starts next
+            # round -- advancing s_prev to the dead photon's next-wall
+            # distance would corrupt the new photon's first interval.
+            adv = jnp.logical_and(
+                jnp.logical_and(walking, jnp.logical_not(ends)),
+                jnp.logical_not(resp),
+            )
             selm = jnp.logical_and(t_next == c[:, None], adv[:, None])
             firstm = jnp.cumsum(selm.astype(jnp.int32), axis=-1) == 1
             am = jnp.logical_and(selm, firstm)
@@ -779,7 +796,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             prim_l, layer_l, alive_new, steps_l, bounces_l, wavelength_l,
             phase_l, n_resp, flat_k, deps_k, absorb_w, absorb_flat,
             n_scat, n_inter, mom_pos, mom_pos2, bank_out, hit_acc,
-            (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_stats_add))
+            (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_stats_add), cand_used)
 
 
 def transport_step(carry: SimCarry, scene: Scene, source: Source,
@@ -1209,8 +1226,9 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
 
     if chaining:
         respawn_cand = None
-        if (cfg.chain_respawn and not cfg.record_emission
-                and not cfg.qmc_source and cfg.escape_shape[0] == 0):
+        r_flat = r_vok = None
+        if (cfg.chain_respawn and not cfg.qmc_source
+                and cfg.escape_shape[0] == 0):
             # per-megastep source candidate for in-chain respawn: an
             # ordinary source sample from an independent uniform block
             # (one candidate per lane per megastep; unused candidates
@@ -1226,23 +1244,29 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
             )
             r_tau = -jnp.log(u_rsp[:, n_src_u])
             r_layer = scene_layer(eval_scene(scene, r_pos))
-            _, r_vok = voxel_flat_index(grid, get_voxel(grid, r_pos))
+            r_flat, r_vok = voxel_flat_index(grid, get_voxel(grid, r_pos))
             allow = (launched + B) <= jnp.asarray(nphotons, jnp.int32)
-            r_ok = jnp.logical_and(
-                jnp.logical_and(r_layer > 0, r_vok), allow
-            )
+            r_good = jnp.logical_and(r_layer > 0, r_vok)
             respawn_cand = (r_pos, r_dir, r_tau, r_layer, r_phase,
-                            r_wl, r_ok)
+                            r_wl, r_good, allow)
         (pos, direction, weight, tau, seg_rem, seg_interact, seg_srf,
          seg_prim, layer, alive, steps, bounces, wavelength, phase,
          n_resp_c, flat_k, deps_k, ab_w_c, ab_flat_c, nsc_c, nint_c,
-         mom_pos, mom_pos2, bank, hit_acc_c, pmc_out) = _chained_dda(
+         mom_pos, mom_pos2, bank, hit_acc_c, pmc_out,
+         cand_used_c) = _chained_dda(
             scene, grid, cfg, skey, pos, direction, weight, tau,
             seg_rem, seg_interact, seg_srf, seg_prim, layer, alive,
             steps, bounces, wavelength, phase, tables, land_eps,
             seg_cap, mom_pos, mom_pos2, bank=bank,
             pmc=(pmc_cnt, pmc_len, pmc_hg), respawn=respawn_cand)
         launched = launched + n_resp_c
+        if cfg.record_emission and respawn_cand is not None:
+            # launch voxels of consumed in-chain candidates (parity with
+            # the analysis-phase emission record above: voxel-valid
+            # launches only, kernelsMod.f90:2184-2200)
+            emission = emission.at[r_flat].add(
+                jnp.where(jnp.logical_and(cand_used_c, r_vok), 1.0, 0.0)
+            )
         if cfg.escape_shape[0] > 0:
             # flush the per-lane hit accumulator into the sid-attributed
             # escape totals (one scatter per megastep, same layout as the
