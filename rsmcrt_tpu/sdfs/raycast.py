@@ -31,11 +31,11 @@ from ..maths.transforms import apply_rotation, apply_transform
 
 _INF = jnp.inf
 
-# prim kinds with closed-form ray crossings; everything else (torus/egg/
-# triprism quartics, all modifiers, CSG models) falls back to sphere-trace
+# prim kinds with closed-form ray crossings; everything else (modifiers
+# other than revolution-of-egg, CSG models) falls back to sphere-trace
 # marching
 ANALYTIC_KINDS = ("sphere", "box", "plane", "cylinder", "capsule",
-                  "segment", "cone")
+                  "segment", "cone", "torus", "triprism")
 
 
 def _first_pos(*ts):
@@ -207,11 +207,240 @@ def ray_cone(p, d, a, b, ra, rb):
     return _first_pos(side_ok(t1), side_ok(t2), cap(0.0, ra), cap(1.0, rb))
 
 
+def _newton_polish(sd_fn, p, d, t, iters=3):
+    """Refine root candidates ``t`` of ``sd_fn(p + t d) = 0`` with Newton
+    steps (jvp gives the directional derivative).  Invalid (inf) lanes pass
+    through untouched; steps are clamped to stay near the seed so a polish
+    can never jump to a different surface sheet."""
+    tf = jnp.where(jnp.isfinite(t), t, 0.0)
+    for _ in range(iters):
+        f, fp = jax.jvp(
+            lambda s: sd_fn(p + s[..., None] * d), (tf,),
+            (jnp.ones_like(tf),),
+        )
+        step = f / jnp.where(jnp.abs(fp) < 1e-8, jnp.sign(fp) * 1e-8 + 1e-12,
+                             fp)
+        tf = tf - jnp.clip(step, -0.05, 0.05)
+    return jnp.where(jnp.isfinite(t), tf, t)
+
+
+def _validated_first(sd_fn, p, d, cands, tol=2e-3, t_min=1e-5):
+    """Newton-polish each candidate and keep the first strictly positive
+    one that truly lies on the surface (|sd| < tol).  Quartic roots in f32
+    carry O(1e-2) error; the polish converges quadratically on the real
+    SDF, and validation discards spurious / wrong-branch roots.  A false
+    positive only costs a wasted same-layer nudge in the engine (the probe
+    re-evaluates the true field); missed crossings are what the loose tol
+    guards against."""
+    best = jnp.full(p.shape[:-1], _INF, p.dtype)
+    for t in cands:
+        t = _newton_polish(sd_fn, p, d, t)
+        sd_at = sd_fn(p + t[..., None] * d)
+        ok = jnp.logical_and(
+            jnp.logical_and(jnp.isfinite(t), t > t_min),
+            jnp.abs(sd_at) < tol,
+        )
+        best = jnp.minimum(best, jnp.where(ok, t, _INF))
+    return best
+
+
+def _solve_depressed_quartic(p, q, r):
+    """Real roots of ``u^4 + p u^2 + q u + r = 0`` (Ferrari; resolvent
+    cubic by the trigonometric method).  Returns 4 candidates, +inf where
+    complex.  f32: callers MUST polish + validate the roots."""
+    dtype = p.dtype
+    inf = jnp.asarray(_INF, dtype)
+    # resolvent cubic m^3 + a2 m^2 + a1 m + a0 = 0
+    a2 = p
+    a1 = 0.25 * p * p - r
+    a0 = -0.125 * q * q
+    Q = (3.0 * a1 - a2 * a2) / 9.0
+    R = (9.0 * a2 * a1 - 27.0 * a0 - 2.0 * a2 ** 3) / 54.0
+    disc = Q ** 3 + R * R
+    # three-real-root branch: largest root via cos
+    mQ = jnp.sqrt(jnp.maximum(-Q, 1e-30))
+    cosarg = jnp.clip(R / jnp.maximum(mQ ** 3, 1e-30), -1.0, 1.0)
+    theta = jnp.arccos(cosarg)
+    m_tri = 2.0 * mQ * jnp.cos(theta / 3.0) - a2 / 3.0
+    # one-real-root branch
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    S = jnp.cbrt(R + sq)
+    T = jnp.cbrt(R - sq)
+    m_one = S + T - a2 / 3.0
+    m = jnp.where(disc <= 0.0, m_tri, m_one)
+    # the resolvent has a root >= 0 whenever the quartic has real roots
+    # (f(0) = -q^2/8 <= 0); clamp round-off
+    m = jnp.maximum(m, 0.0)
+    s = jnp.sqrt(jnp.maximum(2.0 * m, 0.0))
+    biquad = s < 1e-6  # q ~ 0: u^4 + p u^2 + r = 0
+    safe_s = jnp.where(biquad, 1.0, s)
+    c1 = 0.5 * (p + 2.0 * m - q / safe_s)
+    c2 = 0.5 * (p + 2.0 * m + q / safe_s)
+
+    def quad_roots(b, c):
+        # u^2 + b u + c = 0.  Double roots (degenerate torus = sphere
+        # sheets) land at dq ~ -roundoff: keep slightly-negative
+        # discriminants as tangent candidates -- the Newton polish +
+        # on-surface validation keeps only real crossings
+        dq = b * b - 4.0 * c
+        tol = 1e-4 * (b * b + jnp.abs(c)) + 1e-6
+        sdq = jnp.sqrt(jnp.maximum(dq, 1e-30))
+        bad = dq < -tol
+        return (jnp.where(bad, inf, 0.5 * (-b - sdq)),
+                jnp.where(bad, inf, 0.5 * (-b + sdq)))
+
+    f1a, f1b = quad_roots(s, c1)
+    f2a, f2b = quad_roots(-s, c2)
+    # biquadratic fallback: u^2 = (-p +- sqrt(p^2 - 4 r)) / 2
+    dbq = p * p - 4.0 * r
+    sbq = jnp.sqrt(jnp.maximum(dbq, 1e-30))
+    u2a = 0.5 * (-p - sbq)
+    u2b = 0.5 * (-p + sbq)
+
+    def bq_pair(u2, ok):
+        su = jnp.sqrt(jnp.maximum(u2, 1e-30))
+        good = jnp.logical_and(ok, u2 >= 0.0)
+        return (jnp.where(good, -su, inf), jnp.where(good, su, inf))
+
+    b1a, b1b = bq_pair(u2a, dbq >= 0.0)
+    b2a, b2b = bq_pair(u2b, dbq >= 0.0)
+    roots = [
+        jnp.where(biquad, ba, fa)
+        for fa, ba in ((f1a, b1a), (f1b, b1b), (f2a, b2a), (f2b, b2b))
+    ]
+    return roots
+
+
+def _torus_quartic_cands(p, d, R2, rad):
+    """Root candidates of ``(sqrt(x^2+z^2) - R)^2 + y^2 = rad^2`` along
+    ``p + t d`` where only R^2 enters (valid for negative major radii,
+    e.g. the revolved-egg side sheet).  The ray origin is shifted to the
+    closest approach to the centre so the quartic coefficients stay O(1)
+    (f32 conditioning), making the cubic/quartic already depressed
+    (o.d = 0)."""
+    t0 = -jnp.sum(p * d, axis=-1)
+    o = p + t0[..., None] * d
+    m = jnp.sum(o * o, axis=-1)
+    alpha = R2 - rad * rad
+    axy = d[..., 0] ** 2 + d[..., 2] ** 2
+    bxy = 2.0 * (o[..., 0] * d[..., 0] + o[..., 2] * d[..., 2])
+    cxy = o[..., 0] ** 2 + o[..., 2] ** 2
+    ma = m + alpha
+    C = 2.0 * ma - 4.0 * R2 * axy
+    D = -4.0 * R2 * bxy
+    E = ma * ma - 4.0 * R2 * cxy
+    roots = _solve_depressed_quartic(C, D, E)
+    return [u + t0 for u in roots]
+
+
+def ray_torus(p, d, oradius, iradius):
+    """First crossing of the torus around the y axis (reference sd_torus,
+    src/sdfs/sdfs.f90:527-542) -- quartic roots + Newton polish on the
+    true SDF + on-surface validation."""
+    from .primitives import sd_torus
+
+    sd_fn = lambda q: sd_torus(q, oradius, iradius)
+    # bounding-sphere reject keeps the quartic well-conditioned
+    t0 = -jnp.sum(p * d, axis=-1)
+    o = p + t0[..., None] * d
+    near = jnp.sum(o * o, axis=-1) <= (oradius + iradius + 0.5) ** 2
+    cands = _torus_quartic_cands(p, d, oradius * oradius, iradius)
+    t = _validated_first(sd_fn, p, d, cands)
+    return jnp.where(near, t, _INF)
+
+
+def ray_triprism(p, d, h1, h2):
+    """Triangular prism (reference sd_triPrism, src/sdfs/sdfs.f90:583-597):
+    the zero level set is a convex polyhedron of 5 planes -- generalized
+    slab method."""
+    dtype = p.dtype
+    inf = jnp.asarray(_INF, dtype)
+    c866, c05 = 0.866025, 0.5
+    # (normal, offset) with inside = n.x <= b
+    planes = [
+        ((0.0, 0.0, 1.0), h2),
+        ((0.0, 0.0, -1.0), h2),
+        ((0.0, -1.0, 0.0), 0.5 * h1),
+        ((c866, c05, 0.0), 0.5 * h1),
+        ((-c866, c05, 0.0), 0.5 * h1),
+    ]
+    lo = jnp.full(p.shape[:-1], -_INF, dtype)
+    hi = jnp.full(p.shape[:-1], _INF, dtype)
+    for n, b in planes:
+        nv = jnp.asarray(n, dtype)
+        s = jnp.sum(p * nv, axis=-1) - b  # > 0 outside this half-space
+        dn = jnp.sum(d * nv, axis=-1)
+        t = -s / jnp.where(dn == 0.0, 1.0, dn)
+        para_in = jnp.logical_and(dn == 0.0, s <= 0.0)
+        l_i = jnp.where(dn < 0.0, t,
+                        jnp.where(dn > 0.0, -inf,
+                                  jnp.where(para_in, -inf, inf)))
+        h_i = jnp.where(dn > 0.0, t,
+                        jnp.where(dn < 0.0, inf,
+                                  jnp.where(para_in, inf, -inf)))
+        lo = jnp.maximum(lo, l_i)
+        hi = jnp.minimum(hi, h_i)
+    miss = lo > hi
+    return jnp.where(miss, inf, _first_pos(lo, hi))
+
+
+def ray_egg_revolution(p, d, center, o, r1, r2, h):
+    """Revolution of the Moss egg (the egg scene's shell/albumen,
+    reference setupGeometry.f90:149-247 + sdfModifiers.f90:303-321).
+
+    In the (rho, y) half-plane the egg boundary is three circular arcs
+    (sdfs.f90:688-718), so the revolved surface consists of sphere /
+    torus sheets:
+
+    - bottom (y <= 0): circle radius r1 about the axis point -> torus
+      with major radius ``o`` (sphere when o = 0),
+    - top: circle about (0, h+r) -> torus major ``o``,
+    - side: circle of radius r1+el about (-el, 0) -> torus sheet with
+      major radius ``o - el`` (the quartic only sees its square, so the
+      negative major radius at o=0 is fine).
+
+    All sheet candidates are polished + validated against the true
+    revolved SDF, which also applies the region selection."""
+    from .primitives import sd_egg
+
+    r = r1 - r2
+    h_in = h + r
+    el = (h_in ** 2 - r ** 2) / (2.0 * r)
+    rtop = (r1 + el) - jnp.sqrt(h_in ** 2 + el ** 2)
+
+    def sd_fn(q):
+        qc = q - center
+        rho = jnp.sqrt(qc[..., 0] ** 2 + qc[..., 2] ** 2)
+        q2 = jnp.stack(
+            [rho - o, qc[..., 1], jnp.zeros_like(rho)], axis=-1
+        )
+        return sd_egg(q2, r1, r2, h)
+
+    pc = p - center
+    cands = []
+    # bottom sheet: torus(R=o, rad=r1) about y=0
+    cands += _torus_quartic_cands(pc, d, o * o, r1)
+    # top sheet: torus(R=o, rad=rtop) about y=h_in
+    shift = jnp.zeros_like(pc).at[..., 1].set(1.0) * h_in
+    cands += _torus_quartic_cands(pc - shift, d, o * o, rtop)
+    # side sheet: torus(R=o-el, rad=r1+el)
+    Rs = o - el
+    cands += _torus_quartic_cands(pc, d, Rs * Rs, r1 + el)
+    return _validated_first(sd_fn, p, d, cands)
+
+
 def _ray_prim(spec, params, pos, dirn):
+    kind = spec.kind
+    if kind == "revolution":
+        # modifiers carry no transform; analytic only for an egg child
+        # (checked by _is_analytic_spec) whose own transform is identity
+        # in every scene builder (setupGeometry.f90:149-247)
+        ch = params["child0"]
+        return ray_egg_revolution(pos, dirn, params["center"], params["o"],
+                                  ch["r1"], ch["r2"], ch["h"])
     T = params["transform"]
     p = apply_transform(T, pos)
     d = apply_rotation(T, dirn)
-    kind = spec.kind
     if kind == "sphere":
         return ray_sphere(p, d, params["radius"])
     if kind == "box":
@@ -229,7 +458,27 @@ def _ray_prim(spec, params, pos, dirn):
     if kind == "cone":
         return ray_cone(p, d, params["a"], params["b"], params["ra"],
                         params["rb"])
+    if kind == "torus":
+        return ray_torus(p, d, params["oradius"], params["iradius"])
+    if kind == "triprism":
+        return ray_triprism(p, d, params["h1"], params["h2"])
+    if kind == "revolution":
+        # analytic only for an egg child (checked by _is_analytic_spec);
+        # the child's own transform is identity in every scene builder
+        ch = params["child0"]
+        return ray_egg_revolution(pos, dirn, params["center"], params["o"],
+                                  ch["r1"], ch["r2"], ch["h"])
     raise ValueError(f"no analytic raycast for {kind!r}")
+
+
+def _is_analytic_spec(spec) -> bool:
+    """Structural predicate: does this spec have a closed-form raycast?"""
+    if spec.kind in ANALYTIC_KINDS:
+        return True
+    if (spec.kind == "revolution" and len(spec.children) == 1
+            and spec.children[0].kind == "egg"):
+        return True
+    return False
 
 
 def analytic_column_mask(scene) -> tuple:
@@ -237,7 +486,7 @@ def analytic_column_mask(scene) -> tuple:
     mask = [False] * scene.n_prims
     col = 0
     for spec, size in zip(scene.specs, scene.group_sizes):
-        ok = spec.kind in ANALYTIC_KINDS
+        ok = _is_analytic_spec(spec)
         for _ in range(size):
             mask[col] = ok
             col += 1
@@ -254,7 +503,7 @@ def ray_bound(scene, pos, dirn):
     best = None
     for spec, params, size in zip(scene.specs, scene.group_params,
                                   scene.group_sizes):
-        if spec.kind not in ANALYTIC_KINDS:
+        if not _is_analytic_spec(spec):
             continue
         if size == 1:
             single = jax.tree_util.tree_map(lambda a: a[0], params)
@@ -281,7 +530,7 @@ def ray_bound_idx(scene, pos, dirn):
     offset = 0
     for spec, params, size in zip(scene.specs, scene.group_params,
                                   scene.group_sizes):
-        if spec.kind not in ANALYTIC_KINDS:
+        if not _is_analytic_spec(spec):
             offset += size
             continue
         if size == 1:
@@ -315,7 +564,7 @@ def surface_normal(scene, pos, idx):
     offset = 0
     for spec, params, size in zip(scene.specs, scene.group_params,
                                   scene.group_sizes):
-        if spec.kind not in ANALYTIC_KINDS:
+        if not _is_analytic_spec(spec):
             offset += size
             continue
         def f(p, prm_single, spec=spec):

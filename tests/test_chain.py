@@ -276,9 +276,10 @@ def test_chain_flag_falls_back_exactly_with_phasor():
 
 
 def test_chain_falls_back_exactly_on_nonanalytic_scene():
-    # torus has no closed-form raycast -> chaining must disable itself
+    # a twist modifier has no closed-form raycast -> chaining must
+    # disable itself (the torus itself is analytic since round 4)
     scene = S.build_scene([
-        S.torus(0.5, 0.2, mono(5.0, 0.5, 0.0, 1.0), 1),
+        S.twist(S.torus(0.5, 0.2, mono(5.0, 0.5, 0.0, 1.0), 1), 0.5),
         S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
     ])
     grid = cart_grid(20, 20, 20, 1.0, 1.0, 1.0)
@@ -293,3 +294,70 @@ def test_chain_falls_back_exactly_on_nonanalytic_scene():
     np.testing.assert_array_equal(np.asarray(r0[0].jmean),
                                   np.asarray(r1[0].jmean))
     assert int(r0[3]) == int(r1[3])
+
+
+def _tally_match(t0, t1, n):
+    a = float(jnp.sum(t0.jmean)) / n
+    b = float(jnp.sum(t1.jmean)) / n
+    assert abs(a - b) / max(a, 1e-9) < 0.07, (a, b)
+    na = float(t0.nscatt) / n
+    nb = float(t1.nscatt) / n
+    assert abs(na - nb) / max(na, 1e-9) < 0.07, (na, nb)
+
+
+def test_chained_torus_matches_plain_statistically():
+    """Round-4 quartic raycast: a torus scene (with refractive boundary)
+    chains; physics must match the plain walk (reference sd_torus,
+    src/sdfs/sdfs.f90:527)."""
+    scene = S.build_scene([
+        S.torus(0.5, 0.25, mono(8.0, 0.2, 0.5, 1.4), 1),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(40, 40, 40, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.5, 0.0, 0.0])
+    n = 3000
+    cfgs = [TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8,
+                            chain_scatter=c) for c in (False, True)]
+    t0, _, n0, s0 = simulate(scene, src, grid, jax.random.key(5),
+                             cfgs[0], chunk_steps=256)
+    t1, _, n1, s1 = simulate(scene, src, grid, jax.random.key(5),
+                             cfgs[1], chunk_steps=256)
+    assert int(n0) == int(n1) == n
+    assert int(s1) < int(s0)  # chaining engaged
+    _tally_match(t0, t1, n)
+
+
+def test_chained_egg_scene_matches_plain_statistically():
+    """The egg scene's revolution-of-egg shells are analytic (round 4):
+    the full 4-prim egg scene chains and matches the plain walk
+    (reference setupGeometry.f90:149-248)."""
+    from rsmcrt_tpu.scenes import setup_simulation
+
+    params = {
+        "mus": [1.0, 10.0, 5.0], "mua": [0.1, 0.2, 0.3],
+        "hgg": [0.0, 0.9, 0.5], "n": [1.5, 1.35, 1.4],
+        "boundinglength": [2.0, 2.0, 2.0],
+        "BottomSphereRadius": 0.9,
+        "TopSphereRadius": 0.9 * np.sqrt(2.0 - np.sqrt(2.0)),
+        "SphereSep": 0.9 * np.sqrt(2.0 - np.sqrt(2.0)),
+        "YolkRadius": 0.45,
+    }
+    prims = setup_simulation("egg", params)
+    scene = S.build_scene(prims)
+    from rsmcrt_tpu.sdfs.raycast import analytic_column_mask
+    assert all(analytic_column_mask(scene))
+    grid = cart_grid(40, 40, 40, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.2, 0.0])
+    n = 2000
+    t0, _, n0, s0 = simulate(
+        scene, src, grid, jax.random.key(9),
+        TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8),
+        chunk_steps=256)
+    t1, _, n1, s1 = simulate(
+        scene, src, grid, jax.random.key(9),
+        TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8,
+                        chain_scatter=True),
+        chunk_steps=256)
+    assert int(n0) == int(n1) == n
+    assert int(s1) < int(s0)
+    _tally_match(t0, t1, n)

@@ -69,6 +69,8 @@ def _prims(rng):
                   transform=_rigid(rng)),
         S.cone([0.0, 0.0, -0.5], [0.0, 0.1, 0.6], 0.55, 0.2, OPT, 1,
                transform=_rigid(rng)),
+        S.torus(0.7, 0.25, OPT, 1, transform=_rigid(rng)),
+        S.triprism(0.8, 0.5, OPT, 1, transform=_rigid(rng)),
     ]
 
 
@@ -169,3 +171,78 @@ def test_grazing_ray_misses():
     d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
     t = raycast.ray_bound(scene, p0, d)
     assert float(t[0]) == pytest.approx(3.5, abs=1e-4)  # box wall at z=2
+
+
+def test_revolved_egg_analytic():
+    """The egg scene's shell/albumen prims (revolution of the Moss egg,
+    reference setupGeometry.f90:149-247) are analytic: sphere/torus sheet
+    candidates polished against the true SDF."""
+    rng = np.random.default_rng(7)
+    egg = S.revolution(
+        S.egg(0.9, 0.9 * np.sqrt(2.0 - np.sqrt(2.0)),
+              0.9 * np.sqrt(2.0 - np.sqrt(2.0)), OPT, 1),
+        0.0,
+    )
+    scene = S.build_scene([egg])
+    assert raycast.analytic_column_mask(scene) == (True,)
+    n_rays, hits = 60, 0
+    p0s = rng.uniform(-1.8, 1.8, (n_rays, 3)).astype(np.float32)
+    ds = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    ds[::2] = np.array([0.0, 0.4, 0.0], np.float32) - p0s[::2] \
+        + 0.2 * ds[::2]
+    ds /= np.linalg.norm(ds, axis=-1, keepdims=True)
+    t_ana = np.asarray(raycast.ray_bound(
+        scene, jnp.asarray(p0s), jnp.asarray(ds)
+    ))
+    for i in range(n_rays):
+        t_ref = brute_first_crossing(scene, p0s[i], ds[i])
+        if np.isinf(t_ref):
+            assert t_ana[i] > 5.5 or np.isinf(t_ana[i]) or (
+                abs(float(np.asarray(eval_scene(
+                    scene, jnp.asarray((p0s[i] + t_ana[i] * ds[i])[None]),
+                ))[0, 0])) < 5e-3
+            )
+            continue
+        hits += 1
+        if t_ana[i] < t_ref - 3e-3:
+            sd = float(np.asarray(eval_scene(
+                scene, jnp.asarray((p0s[i] + t_ana[i] * ds[i])[None]),
+            ))[0, 0])
+            assert abs(sd) < 2e-3, (i, t_ana[i], t_ref, sd)
+        else:
+            assert t_ana[i] == pytest.approx(t_ref, abs=3e-3), (
+                i, t_ana[i], t_ref
+            )
+    assert hits >= 10
+
+
+def test_torus_no_missed_crossings():
+    """Dense sweep: every brute-force crossing must be found (a missed
+    crossing lets photons tunnel through the surface unnoticed)."""
+    scene = S.build_scene([S.torus(0.6, 0.2, OPT, 1)])
+    rng = np.random.default_rng(11)
+    n = 400
+    p0s = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    ds = -p0s + 0.3 * rng.normal(size=(n, 3)).astype(np.float32)
+    ds /= np.linalg.norm(ds, axis=-1, keepdims=True)
+    t_ana = np.asarray(raycast.ray_bound(
+        scene, jnp.asarray(p0s), jnp.asarray(ds)
+    ))
+    missed = 0
+    for i in range(n):
+        t_ref = brute_first_crossing(scene, p0s[i], ds[i], t_max=4.0,
+                                     n=20000)
+        if np.isfinite(t_ref) and not (
+            t_ana[i] < t_ref + 3e-3 and np.isfinite(t_ana[i])
+        ):
+            missed += 1
+    assert missed == 0
+
+
+def test_torus_interior_exit():
+    scene = S.build_scene([S.torus(0.6, 0.2, OPT, 1)])
+    # start inside the tube, exit radially outward
+    t = float(raycast.ray_bound(
+        scene, jnp.asarray([[0.6, 0.0, 0.0]], jnp.float32),
+        jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32))[0])
+    assert t == pytest.approx(0.2, abs=1e-3)
