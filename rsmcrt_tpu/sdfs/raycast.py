@@ -552,21 +552,20 @@ def ray_bound_idx(scene, pos, dirn):
 
 
 def surface_normal(scene, pos, idx):
-    """Exact outward-ish unit surface normal of the analytic prim ``idx``
-    (concatenated-group order, from :func:`ray_bound_idx`) at world points
+    """Unit surface normal of prim ``idx`` (concatenated-group order,
+    from :func:`ray_bound_idx` / the marched probe) at world points
     ``pos [B, 3]`` -- the gradient of that prim's world-space SDF via
     ``jax.grad`` (exact where the reference uses a tetrahedron finite
     difference, src/sdfs/sdf_base.f90:166-190; sign conventions match
-    since both are SDF gradients)."""
+    since both are SDF gradients).  Covers EVERY spec kind -- modifiers
+    and CSG models differentiate through :func:`eval_spec` -- so the
+    chained walk can consume Fresnel events on marched surfaces too."""
     from .scene import eval_spec
 
     out = jnp.zeros_like(pos)
     offset = 0
     for spec, params, size in zip(scene.specs, scene.group_params,
                                   scene.group_sizes):
-        if not _is_analytic_spec(spec):
-            offset += size
-            continue
         def f(p, prm_single, spec=spec):
             return eval_spec(spec, prm_single, p)
 

@@ -129,6 +129,15 @@ class TransportConfig:
     # eval_scene; without it a photon creeping toward an SDF surface pays
     # a full megastep per trace step.
     march_iters: int = 6
+    # bounded sphere-trace iterations per CHAIN round for scenes with
+    # non-analytic prims (modifiers / CSG models): the chained walk
+    # marches the non-analytic columns to find each new segment's bound
+    # in-line, so the omg / logo / vessels scenes keep the fast path.
+    # A segment whose march budget runs out before any surface or
+    # interaction re-anchors as a continuation event and keeps walking.
+    # 0 = chained transport requires a fully analytic scene (round-3
+    # behaviour: silent fallback to the plain walk).
+    chain_march_iters: int = 4
     # numerical knobs; reference uses eps=1e-8 in f64 (inttau2.f90:56)
     eps: float = 1e-5
     # voxel-wall overshoot as a fraction of voxel size
@@ -179,7 +188,8 @@ class LaneState:
     tau: jnp.ndarray  # [B] remaining optical depth
     seg_rem: jnp.ndarray  # [B] geometric length left in current segment
     seg_interact: jnp.ndarray  # [B] bool: interaction at segment end
-    seg_srf: jnp.ndarray  # [B] bool: segment ends at an analytic surface
+    seg_srf: jnp.ndarray  # [B] bool: segment ends at a known surface
+    seg_cont: jnp.ndarray  # [B] bool: ends at a march-budget continuation
     seg_prim: jnp.ndarray  # [B] int32 concat-order prim of that surface
     alive: jnp.ndarray  # [B] bool
     bounces: jnp.ndarray  # [B] int32
@@ -219,6 +229,7 @@ def _init_lanes(B: int, dtype, history_len: int = 0) -> LaneState:
         seg_rem=z(),
         seg_interact=zb(),
         seg_srf=zb(),
+        seg_cont=zb(),
         seg_prim=zi(),
         alive=zb(),
         bounces=zi(),
@@ -284,11 +295,109 @@ def _opt_lookup(tables, arr, layer, wavelength):
     return arr[wbin, layer]
 
 
+def _segment_probe(scene, pos, dirn, tau_dist, avail_cap, land_eps, eps,
+                   ana_mask, march_iters):
+    """Bound of the next straight flight segment from ``pos`` along
+    ``dirn`` for an arbitrary scene: analytic raycast over the
+    closed-form prims merged with a capped sphere-trace march over the
+    rest (the reference's inner loop, inttau2.f90:155-192, vectorised
+    and budgeted).
+
+    Returns ``(rem, interact, srf, cont, hidx)``:
+
+    - ``rem``: segment length (>= 0, capped at ``avail_cap``),
+    - ``interact``: ends at the optical-depth distance ``tau_dist``,
+    - ``srf``: ends ``~eps`` before a surface whose concat-order prim
+      index is ``hidx`` (analytic hit or marched landing),
+    - ``cont``: the march budget ran out mid-flight -- the caller
+      re-anchors and probes again (a continuation, not a physics event).
+
+    All-analytic scenes take the closed-form path, identical to the
+    round-3 chain logic."""
+    dtype = pos.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    B = pos.shape[0]
+    zerosb = jnp.zeros((B,), bool)
+    if all(ana_mask):
+        t_ana, hidx = raycast.ray_bound_idx(scene, pos, dirn)
+        avail = jnp.where(jnp.isfinite(t_ana), t_ana - land_eps, inf)
+        rem = jnp.maximum(
+            jnp.minimum(jnp.minimum(tau_dist, avail), avail_cap), 0.0
+        )
+        interact = jnp.logical_and(tau_dist <= avail,
+                                   jnp.isfinite(tau_dist))
+        srf = jnp.logical_and(
+            jnp.logical_not(interact),
+            jnp.logical_and(avail <= avail_cap, jnp.isfinite(avail)),
+        )
+        return rem, interact, srf, zerosb, hidx
+
+    if any(ana_mask):
+        t_ana, hidx_ana = raycast.ray_bound_idx(scene, pos, dirn)
+        avail_ana = jnp.where(jnp.isfinite(t_ana), t_ana - land_eps, inf)
+    else:
+        avail_ana = jnp.full((B,), jnp.inf, dtype)
+        hidx_ana = jnp.zeros((B,), jnp.int32)
+    # non-analytic columns in USER order (eval_scene's column order) and
+    # their concat-order indices (what surface_normal consumes)
+    na_user = [i for i, a in enumerate(ana_mask) if not a]
+    na_cols = jnp.asarray(na_user, jnp.int32)
+    na_concat = jnp.asarray([scene.perm[i] for i in na_user], jnp.int32)
+    bound = jnp.minimum(avail_ana, avail_cap)
+
+    def d_na(ds_all):
+        sub = ds_all[:, na_cols]
+        return jnp.min(jnp.abs(sub), axis=-1), jnp.argmin(
+            jnp.abs(sub), axis=-1
+        )
+
+    s = jnp.zeros((B,), dtype)
+    hit_tau = zerosb
+    moving = jnp.ones((B,), bool)
+    d_cur = jnp.zeros((B,), dtype)
+    na_min = jnp.full((B,), jnp.inf, dtype)
+    na_arg = jnp.zeros((B,), jnp.int32)
+    # unrolled march: each iteration is one fused eval_scene; the loop
+    # carries the landing diagnostics of the LAST evaluated point
+    for it in range(max(march_iters, 1)):
+        p = pos + s[:, None] * dirn
+        dmin, darg = d_na(eval_scene(scene, p))
+        na_min = jnp.where(moving, dmin, na_min)
+        na_arg = jnp.where(moving, darg, na_arg)
+        d_step = jnp.where(moving, jnp.minimum(dmin, bound - s), d_cur)
+        d_cur = d_step
+        ht = jnp.logical_and(moving, s + d_step >= tau_dist)
+        s = jnp.where(ht, tau_dist, jnp.where(moving, s + d_step, s))
+        hit_tau = jnp.logical_or(hit_tau, ht)
+        moving = jnp.logical_and(moving, jnp.logical_not(ht))
+        moving = jnp.logical_and(moving, d_step >= eps)
+    # each loop iteration evaluates THEN advances, so every advance is
+    # certified by an eval at its start point -- no trailing partial step
+    # (an uncertified extra step overshoots surfaces: photons tunnel).
+    # A lane still moving after the budget is a continuation.
+    cont = moving
+
+    stopped = jnp.logical_and(jnp.logical_not(hit_tau),
+                              jnp.logical_not(cont))
+    # stopped: landed near a non-analytic surface, reached the analytic
+    # bound, or reached the cap
+    land_na = jnp.logical_and(stopped, na_min < 2.0 * eps)
+    srf_ana = jnp.logical_and(
+        jnp.logical_and(stopped, jnp.logical_not(land_na)),
+        jnp.logical_and(jnp.isfinite(avail_ana),
+                        avail_ana - s <= 2.0 * eps),
+    )
+    srf = jnp.logical_or(land_na, srf_ana)
+    hidx = jnp.where(land_na, na_concat[na_arg], hidx_ana)
+    rem = jnp.maximum(jnp.minimum(s, avail_cap), 0.0)
+    return rem, hit_tau, srf, cont, hidx
+
+
 def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
-                 weight, tau, seg_rem, seg_interact, seg_srf, seg_prim,
-                 layer, alive, steps, bounces, wavelength, phase, tables,
-                 land_eps, seg_cap, mom_pos, mom_pos2, bank=None,
-                 pmc=None, respawn=None):
+                 weight, tau, seg_rem, seg_interact, seg_srf, seg_cont,
+                 seg_prim, layer, alive, steps, bounces, wavelength,
+                 phase, tables, land_eps, seg_cap, mom_pos, mom_pos2,
+                 bank=None, pmc=None, respawn=None):
     """DDA walk with in-line scatter AND Fresnel-boundary chaining.
 
     The plain DDA walks one segment per megastep: a lane whose segment
@@ -351,7 +460,9 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     rem = jnp.where(walking, seg_rem, 0.0)
     seg_int = seg_interact
     srf_f = seg_srf
+    cont_f = seg_cont
     prim_l = seg_prim
+    ana_mask = raycast.analytic_column_mask(scene)  # static
     layer_l = layer
     w_l = weight
     bounces_l = bounces
@@ -457,7 +568,15 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         inter = jnp.logical_and(ends_b, seg_int)
         not_int = jnp.logical_and(ends_b, jnp.logical_not(seg_int))
         srf = jnp.logical_and(not_int, srf_f)
-        plainx = jnp.logical_and(not_int, jnp.logical_not(srf_f))
+        # march-budget continuation: re-anchor with no physics event
+        cont_ev = jnp.logical_and(
+            not_int, jnp.logical_and(cont_f, jnp.logical_not(srf_f))
+        )
+        plainx = jnp.logical_and(
+            not_int,
+            jnp.logical_and(jnp.logical_not(srf_f),
+                            jnp.logical_not(cont_f)),
+        )
         u_r = uc[:, r, :]
         p_end = p0 + rem[:, None] * dirc
         w_dep = w_l  # weight before any roulette reweight this round
@@ -619,18 +738,11 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         )
         if respawn is not None:
             tau_ev = jnp.where(resp, r_tau, tau_ev)
-        t_ana, hidx = raycast.ray_bound_idx(scene, np_pos, np_dir)
-        avail2 = jnp.where(jnp.isfinite(t_ana), t_ana - land_eps, inf)
         tau_dist2 = jnp.where(kappa2 > 0.0,
                               tau_ev / jnp.maximum(kappa2, 1e-12), inf)
-        rem2 = jnp.maximum(
-            jnp.minimum(jnp.minimum(tau_dist2, avail2), seg_cap), 0.0
-        )
-        int2 = jnp.logical_and(tau_dist2 <= avail2,
-                               jnp.isfinite(tau_dist2))
-        srf2 = jnp.logical_and(
-            jnp.logical_not(int2),
-            jnp.logical_and(avail2 <= seg_cap, jnp.isfinite(avail2)),
+        rem2, int2, srf2, cont2, hidx = _segment_probe(
+            scene, np_pos, np_dir, tau_dist2, seg_cap, land_eps, eps,
+            ana_mask, cfg.chain_march_iters,
         )
         tau2 = jnp.maximum(tau_ev - rem2 * kappa2, 0.0)
         steps2 = steps_l + do_sc.astype(jnp.int32)
@@ -654,7 +766,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
 
         ev = jnp.logical_or(
             jnp.logical_and(
-                jnp.logical_or(do_sc, srf_cont), jnp.logical_not(over)
+                jnp.logical_or(jnp.logical_or(do_sc, srf_cont), cont_ev),
+                jnp.logical_not(over),
             ),
             resp,
         )
@@ -729,6 +842,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         rem = jnp.where(ev, rem2, rem)
         seg_int = jnp.where(ev, int2, seg_int)
         srf_f = jnp.where(ev, srf2, srf_f)
+        cont_f = jnp.where(ev, cont2, cont_f)
         prim_l = jnp.where(ev, hidx, prim_l)
         layer_l = jnp.where(ev, nlayer, layer_l)
         tau_l = jnp.where(ev, tau2, tau_l)
@@ -772,6 +886,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     pos_new = p0 + s_prev[:, None] * dirc
     seg_rem_new = jnp.maximum(rem - s_prev, 0.0)
     alive_new = jnp.logical_and(alive, jnp.logical_not(died))
+    del ana_mask
     if cfg.record_fluence:
         flat_k = jnp.stack(flats, axis=-1)  # [B, K]
         deps_k = jnp.stack(vals, axis=-1)
@@ -793,10 +908,11 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         }
         bank_out = flush_bins(bank, acc)
     return (pos_new, dirc, w_l, tau_l, seg_rem_new, seg_int, srf_f,
-            prim_l, layer_l, alive_new, steps_l, bounces_l, wavelength_l,
-            phase_l, n_resp, flat_k, deps_k, absorb_w, absorb_flat,
-            n_scat, n_inter, mom_pos, mom_pos2, bank_out, hit_acc,
-            (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_stats_add), cand_used)
+            cont_f, prim_l, layer_l, alive_new, steps_l, bounces_l,
+            wavelength_l, phase_l, n_resp, flat_k, deps_k, absorb_w,
+            absorb_flat, n_scat, n_inter, mom_pos, mom_pos2, bank_out,
+            hit_acc, (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_stats_add),
+            cand_used)
 
 
 def transport_step(carry: SimCarry, scene: Scene, source: Source,
@@ -872,6 +988,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     seg_rem = jnp.where(respawn, 0.0, st.seg_rem)
     seg_interact = jnp.where(respawn, False, st.seg_interact)
     seg_srf = jnp.where(respawn, False, st.seg_srf)
+    seg_cont = jnp.where(respawn, False, st.seg_cont)
     seg_prim = jnp.where(respawn, 0, st.seg_prim)
     alive = jnp.logical_or(st.alive, respawn)
     launched = carry.launched + n_respawn
@@ -1039,21 +1156,37 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # reference's per-tauint2-call protocol (inttau2.f90:195-200).
     ana_mask = raycast.analytic_column_mask(scene)  # static
     land_eps = 0.5 * eps
+    # in-line chaining engaged?  (static).  Scenes with non-analytic
+    # prims chain through the in-chain bounded march (round 4); the
+    # hit-matrix-free requirement is unchanged.
+    chaining = (cfg.chain_scatter
+                and cfg.history_len == 0 and not cfg.record_phasor
+                and (all(ana_mask) or cfg.chain_march_iters > 0))
     # photons that outlive this never re-enter the grid: they died at the
     # grid wall during the DDA (update_grids tflag, inttau2.f90:437-440)
     seg_cap = 8.0 * jnp.sqrt(
         grid.xmax**2 + grid.ymax**2 + grid.zmax**2
     ) + 1.0
     hit_prim = jnp.zeros((B,), jnp.int32)
+    cont_new = jnp.zeros((B,), bool)
+    probed = not all(ana_mask) and chaining
     if all(ana_mask):
         t_ana, hit_prim = raycast.ray_bound_idx(scene, pos, direction)
         avail = jnp.where(jnp.isfinite(t_ana), t_ana - land_eps, jnp.inf)
-    elif any(ana_mask):
+    elif any(ana_mask) and not probed:
         t_ana = raycast.ray_bound(scene, pos, direction)
         avail = jnp.where(jnp.isfinite(t_ana), t_ana - land_eps, jnp.inf)
-    else:
+    elif not probed:
         avail = jnp.full((B,), jnp.inf, dtype)
-    if all(ana_mask):
+    if probed:
+        # chained mixed scene: the analysis phase classifies segment ends
+        # exactly like the in-chain probe (surface / continuation), so
+        # spawn segments enter the chained walk with usable flags
+        interior_len, interior_interact, interior_srf, cont_p, hit_prim \
+            = _segment_probe(scene, pos, direction, tau_dist, seg_cap,
+                             land_eps, eps, ana_mask, cfg.march_iters)
+        cont_new = jnp.logical_and(interior, cont_p)
+    elif all(ana_mask):
         interior_len = jnp.minimum(jnp.minimum(tau_dist, avail), seg_cap)
         interior_interact = jnp.logical_and(
             tau_dist <= avail, jnp.isfinite(tau_dist)
@@ -1112,7 +1245,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         jnp.logical_and(interior, interior_interact),
         jnp.logical_and(same, tau_dist <= smallstep),
     )
-    if all(ana_mask):
+    if all(ana_mask) or probed:
         srf_new = jnp.logical_and(interior, interior_srf)
     else:
         srf_new = jnp.zeros((B,), bool)
@@ -1131,6 +1264,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     seg_rem = jnp.where(need_seg, seg_new, seg_rem)
     seg_interact = jnp.where(need_seg, interact_new, seg_interact)
     seg_srf = jnp.where(need_seg, srf_new, seg_srf)
+    seg_cont = jnp.where(need_seg, cont_new, seg_cont)
     seg_prim = jnp.where(need_seg, hit_prim, seg_prim)
 
     died_analysis = escaped | outside_after | overbounced
@@ -1214,10 +1348,9 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     # (round 3: per-event segment tests + per-interaction weight
     # deposits inside the walk; without fluence every chain round jumps
     # a whole segment -- K events per lane per megastep); the hit-matrix
-    # modes (escape / pMC / history) still need the full analysis phase
-    chaining = (cfg.chain_scatter
-                and cfg.history_len == 0 and not cfg.record_phasor
-                and all(ana_mask))
+    # modes (escape / pMC / history) still need the full analysis phase.
+    # ``chaining`` itself is decided in the analysis phase above (round
+    # 4: non-analytic scenes chain through the in-chain bounded march).
 
     mom_pos = tl.mom_pos
     mom_pos2 = tl.mom_pos2
@@ -1250,13 +1383,13 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
             respawn_cand = (r_pos, r_dir, r_tau, r_layer, r_phase,
                             r_wl, r_good, allow)
         (pos, direction, weight, tau, seg_rem, seg_interact, seg_srf,
-         seg_prim, layer, alive, steps, bounces, wavelength, phase,
-         n_resp_c, flat_k, deps_k, ab_w_c, ab_flat_c, nsc_c, nint_c,
-         mom_pos, mom_pos2, bank, hit_acc_c, pmc_out,
+         seg_cont, seg_prim, layer, alive, steps, bounces, wavelength,
+         phase, n_resp_c, flat_k, deps_k, ab_w_c, ab_flat_c, nsc_c,
+         nint_c, mom_pos, mom_pos2, bank, hit_acc_c, pmc_out,
          cand_used_c) = _chained_dda(
             scene, grid, cfg, skey, pos, direction, weight, tau,
-            seg_rem, seg_interact, seg_srf, seg_prim, layer, alive,
-            steps, bounces, wavelength, phase, tables, land_eps,
+            seg_rem, seg_interact, seg_srf, seg_cont, seg_prim, layer,
+            alive, steps, bounces, wavelength, phase, tables, land_eps,
             seg_cap, mom_pos, mom_pos2, bank=bank,
             pmc=(pmc_cnt, pmc_len, pmc_hg), respawn=respawn_cand)
         launched = launched + n_resp_c
@@ -1501,7 +1634,8 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     new_state = LaneState(
         pos=pos, dir=direction, weight=weight, layer=layer,
         tau=tau, seg_rem=seg_rem, seg_interact=seg_interact,
-        seg_srf=seg_srf, seg_prim=seg_prim, alive=alive,
+        seg_srf=seg_srf, seg_cont=seg_cont, seg_prim=seg_prim,
+        alive=alive,
         bounces=bounces, steps=steps, phase=phase, wavelength=wavelength,
         sid=sid, history=history, hist_n=hist_n,
         pmc_cnt=pmc_cnt, pmc_len=pmc_len, pmc_hg=pmc_hg,

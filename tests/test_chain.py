@@ -276,17 +276,19 @@ def test_chain_flag_falls_back_exactly_with_phasor():
 
 
 def test_chain_falls_back_exactly_on_nonanalytic_scene():
-    # a twist modifier has no closed-form raycast -> chaining must
-    # disable itself (the torus itself is analytic since round 4)
+    # with chain_march_iters=0 a non-analytic scene cannot chain:
+    # chaining must disable itself (round-3 behaviour; the twist
+    # modifier has no closed-form raycast)
     scene = S.build_scene([
         S.twist(S.torus(0.5, 0.2, mono(5.0, 0.5, 0.0, 1.0), 1), 0.5),
         S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
     ])
     grid = cart_grid(20, 20, 20, 1.0, 1.0, 1.0)
     src = build_source("point", position=[0.5, 0.0, 0.0])
-    cfg0 = TransportConfig(nphotons=500, n_lanes=128, dda_substeps=8)
+    cfg0 = TransportConfig(nphotons=500, n_lanes=128, dda_substeps=8,
+                           chain_march_iters=0)
     cfg1 = TransportConfig(nphotons=500, n_lanes=128, dda_substeps=8,
-                           chain_scatter=True)
+                           chain_scatter=True, chain_march_iters=0)
     r0 = simulate(scene, src, grid, jax.random.key(2), cfg0,
                   chunk_steps=256)
     r1 = simulate(scene, src, grid, jax.random.key(2), cfg1,
@@ -294,6 +296,61 @@ def test_chain_falls_back_exactly_on_nonanalytic_scene():
     np.testing.assert_array_equal(np.asarray(r0[0].jmean),
                                   np.asarray(r1[0].jmean))
     assert int(r0[3]) == int(r1[3])
+
+
+def test_chained_march_modifier_scene_matches_plain():
+    """Round 4: non-analytic scenes chain via the in-chain bounded march
+    (_segment_probe).  A twist-modifier scene with a refractive boundary
+    must match the plain walk statistically (reference marches the same
+    surfaces serially, inttau2.f90:155-192)."""
+    scene = S.build_scene([
+        S.twist(S.torus(0.5, 0.22, mono(8.0, 0.3, 0.5, 1.4), 1), 0.4),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(40, 40, 40, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.5, 0.0, 0.0])
+    n = 2500
+    t0, _, n0, s0 = simulate(
+        scene, src, grid, jax.random.key(4),
+        TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8),
+        chunk_steps=256)
+    t1, _, n1, s1 = simulate(
+        scene, src, grid, jax.random.key(4),
+        TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8,
+                        chain_scatter=True),
+        chunk_steps=256)
+    assert int(n0) == int(n1) == n
+    assert int(s1) < int(s0)  # marched chaining engaged
+    _tally_match(t0, t1, n)
+
+
+def test_chained_smooth_union_model_matches_plain():
+    """CSG models (the omg scene's structure, setupGeometry.f90:466-549)
+    chain through the marched probe too."""
+    parts = [
+        S.cylinder([-0.25, 0.0, -0.25], [0.25, 0.0, 0.25], 0.1,
+                   mono(10.0, 0.2, 0.0, 1.5), 1),
+        S.torus(0.3, 0.08, mono(10.0, 0.2, 0.0, 1.5), 1),
+    ]
+    scene = S.build_scene([
+        S.model(parts, "smooth_union", 0.09),
+        S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(40, 40, 40, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    n = 2500
+    t0, _, n0, s0 = simulate(
+        scene, src, grid, jax.random.key(6),
+        TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8),
+        chunk_steps=256)
+    t1, _, n1, s1 = simulate(
+        scene, src, grid, jax.random.key(6),
+        TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8,
+                        chain_scatter=True),
+        chunk_steps=256)
+    assert int(n0) == int(n1) == n
+    assert int(s1) < int(s0)
+    _tally_match(t0, t1, n)
 
 
 def _tally_match(t0, t1, n):
