@@ -154,6 +154,15 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
     elapsed = time.perf_counter() - t0
     if tev is not None:
         tev.close()
+    if track_history and tallies.track_dropped is not None:
+        trunc, over = (int(v) for v in np.asarray(tallies.track_dropped))
+        if trunc or over:
+            # history losses are counted, never silent (VERDICT r3 #4):
+            # ring-truncated early events of deep paths + per-chunk slot
+            # overflow (raise history_len / max_tracks to capture more)
+            print(f"[history] dropped: {trunc} ring-truncated events, "
+                  f"{over} overflowed tracks (of "
+                  f"{int(tallies.track_count)} kept)")
     return SimResult(
         parsed=parsed, scene=scene, tallies=tallies, bank=bank,
         launched=int(launched), steps=int(steps), elapsed=elapsed,

@@ -1311,6 +1311,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                                jnp.where(alive, weight, 0.0))
     tracks = tl.tracks
     track_count = tl.track_count
+    track_dropped = tl.track_dropped
     if cfg.history_len > 0 and bank is not None and cfg.max_tracks > 0:
         # flush paths of lanes whose segment hit any detector
         # (reference history%write on hit, detector_base.f90:158-160);
@@ -1324,9 +1325,17 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         write_val = jnp.where(ok[:, None, None], history,
                               tracks[safe_slot])
         tracks = tracks.at[safe_slot].set(write_val)
-        track_count = jnp.minimum(
-            track_count + jnp.sum(hits_any, dtype=jnp.int32),
-            cfg.max_tracks,
+        raw_count = track_count + jnp.sum(hits_any, dtype=jnp.int32)
+        track_count = jnp.minimum(raw_count, cfg.max_tracks)
+        # loss accounting (VERDICT r3 weak #4): ring-truncated events of
+        # flushed tracks + per-chunk slot overflow (the chunked driver
+        # drains slots every chunk, so overflow means one chunk produced
+        # more than max_tracks detected photons)
+        trunc = jnp.sum(jnp.where(
+            hits_any, jnp.maximum(hist_n - cfg.history_len, 0), 0
+        ), dtype=jnp.int32)
+        track_dropped = track_dropped + jnp.stack(
+            [trunc, raw_count - track_count]
         )
 
     # attribute the new segment's length AFTER hit recording (hits see the
@@ -1645,6 +1654,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         mom_pos=mom_pos, mom_pos2=mom_pos2, escape_tot=escape_tot,
         pmc_stats=pmc_stats, tracks=tracks, track_count=track_count,
         phasor_re=phasor_re, phasor_im=phasor_im, perf=perf,
+        track_dropped=track_dropped,
     )
     return SimCarry(
         state=new_state, tallies=new_tallies, bank=bank,
@@ -1777,10 +1787,17 @@ def simulate(scene: Scene, source: Source, grid: CartGrid, key,
     compacted into a wavefront 1/8 the width (``tail_shrink``): the last
     photons alive otherwise burn full-batch step cost at ~1% occupancy.
     """
+    import numpy as _np
+
     dtype = scene.tables.mus.dtype
     n_target = int(cfg.nphotons if nphotons is None else nphotons)
     cur_cfg = cfg
     carry = init_carry(grid, cfg, bank=bank, dtype=dtype)
+    # history v2: detected-photon tracks drain to the host every chunk,
+    # so the device slot buffer only has to hold ONE chunk's worth --
+    # the run-level track count is unbounded (the reference's growing
+    # stack, historyStack.f90:60-130; VERDICT r3 next #6)
+    drained_tracks = [] if cfg.max_tracks > 0 else None
     while True:
         # straggler tail = one serial photon chain at a tiny batch size:
         # use longer chunks there so host round trips stop dominating
@@ -1790,6 +1807,19 @@ def simulate(scene: Scene, source: Source, grid: CartGrid, key,
                            cur_chunk, n_target)
         launched = int(carry.launched)
         step = int(carry.step)
+        if drained_tracks is not None:
+            tc = int(carry.tallies.track_count)
+            if tc > 0:
+                drained_tracks.append(
+                    _np.asarray(carry.tallies.tracks)[:tc].copy()
+                )
+                carry = SimCarry(
+                    state=carry.state,
+                    tallies=replace(carry.tallies,
+                                    track_count=jnp.zeros((), jnp.int32)),
+                    bank=carry.bank, launched=carry.launched,
+                    step=carry.step,
+                )
         if progress is not None:
             progress(launched, n_target, step, carry)
         if step >= cfg.max_steps:
@@ -1809,4 +1839,18 @@ def simulate(scene: Scene, source: Source, grid: CartGrid, key,
             new_B = max(min_lanes, cur_cfg.n_lanes // 8)
             carry = _compact_lanes(carry, new_B)
             cur_cfg = replace(cur_cfg, n_lanes=new_B)
-    return carry.tallies, carry.bank, carry.launched, carry.step
+    tallies = carry.tallies
+    if drained_tracks:
+        # splice the host-drained tracks back so consumers see one
+        # unbounded [total, H, 4] buffer + total count
+        tc = int(tallies.track_count)
+        parts = drained_tracks + (
+            [_np.asarray(tallies.tracks)[:tc]] if tc > 0 else []
+        )
+        full = _np.concatenate(parts, axis=0)
+        tallies = replace(
+            tallies,
+            tracks=jnp.asarray(full),
+            track_count=jnp.asarray(full.shape[0], jnp.int32),
+        )
+    return tallies, carry.bank, carry.launched, carry.step

@@ -108,10 +108,10 @@ def _circle_bank():
 
 def test_history_tracks_rejected_under_sharding():
     """History tracks are slot-indexed buffers; psum-reducing them is
-    garbage, so sharded mode must refuse instead of silently corrupting
-    (VERDICT r2 weak #4)."""
-    from rsmcrt_tpu.parallel.mesh import simulate_sharded_chunked
-
+    garbage, so the in-worker-psum path must refuse instead of silently
+    corrupting (VERDICT r2 weak #4).  The CHUNKED sharded driver gathers
+    per-shard buffers at the reduce instead (round 4; gated in
+    tests/test_history.py::test_history_sharded_gathers_per_shard)."""
     scene = _scene()
     grid = cart_grid(16, 16, 16, 1.0, 1.0, 1.0)
     src = build_source("point", position=[0.0, 0.0, 0.0])
@@ -120,9 +120,6 @@ def test_history_tracks_rejected_under_sharding():
     with pytest.raises(ValueError, match="history"):
         simulate_sharded(scene, src, grid, jax.random.key(0), cfg,
                          bank=_circle_bank(), mesh=make_mesh())
-    with pytest.raises(ValueError, match="history"):
-        simulate_sharded_chunked(scene, src, grid, jax.random.key(0), cfg,
-                                 bank=_circle_bank(), mesh=make_mesh())
 
 
 @pytest.mark.slow
