@@ -111,7 +111,7 @@ def simulate_sharded(scene, source, grid, key, cfg: TransportConfig,
                 grid, scene.tables.mus.dtype,
                 escape_shape=dev_cfg.escape_shape,
                 phasor=dev_cfg.record_phasor,
-                pmc_shape=(n_dect if dev_cfg.inverse_prim > 0 else 0, 4),
+                pmc_shape=(n_dect if dev_cfg.inverse_prim > 0 else 0, 6),
             ),
             bank=bank,
             launched=jnp.zeros((), jnp.int32),

@@ -202,6 +202,8 @@ class LaneState:
     pmc_cnt: jnp.ndarray  # [B] scatters in the inverse prim
     pmc_len: jnp.ndarray  # [B] path length in the inverse prim
     pmc_hg: jnp.ndarray  # [B] sum of d log p_HG / dg in the inverse prim
+    pmc_fn: jnp.ndarray  # [B] sum of d log P(fresnel choice) / d n_inv
+    pmc_bn: jnp.ndarray  # [B] boundary extinction score d log p / d R
 
 
 @jax.tree_util.register_dataclass
@@ -242,6 +244,8 @@ def _init_lanes(B: int, dtype, history_len: int = 0) -> LaneState:
         pmc_cnt=z(),
         pmc_len=z(),
         pmc_hg=z(),
+        pmc_fn=z(),
+        pmc_bn=z(),
     )
 
 
@@ -536,10 +540,18 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     # pMC sufficient statistics (inverse kernel): per-lane accumulators +
     # per-detector [Sum w, Sum w*cnt, Sum w*len, Sum w*hg] rows
     if cfg.inverse_prim > 0:
-        pmc_cnt_l, pmc_len_l, pmc_hg_l = pmc
-        pmc_stats_add = jnp.zeros((len(bank.order), 4), dtype)
+        pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_fn_l, pmc_bn_l = pmc
+        pmc_stats_add = jnp.zeros((len(bank.order), 6), dtype)
+        # layer id of each prim in concat order: maps the crossed-surface
+        # index hidx to "is this the inverse prim's surface"
+        user_of_concat = [0] * scene.n_prims
+        for u, cidx in enumerate(scene.perm):
+            user_of_concat[cidx] = u
+        layer_of_concat = jnp.asarray(
+            [scene.layer_ids[user_of_concat[c]]
+             for c in range(scene.n_prims)], jnp.int32)
     else:
-        pmc_cnt_l = pmc_len_l = pmc_hg_l = None
+        pmc_cnt_l = pmc_len_l = pmc_hg_l = pmc_fn_l = pmc_bn_l = None
         pmc_stats_add = None
     # escape-function mode: per-lane per-detector hit weights accumulate
     # densely across rounds (sid is constant per lane within a megastep:
@@ -669,6 +681,56 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         died = jnp.logical_or(died, srf_die)
         bounces_l = jnp.where(refl, bounces2, bounces_l)
 
+        if cfg.inverse_prim > 0:
+            # estimator scores for n and shape at this surface event
+            # (round 4, VERDICT r3 next #4).  Fresnel-choice score:
+            # d log P(reflect | transmit) / d n_inv via jvp of the
+            # coefficient wrt whichever side is the inverse prim.
+            # Boundary extinction score: moving the inverse prim's
+            # surface outward by dR re-assigns dR/|cos| of path across
+            # the interface per crossing (and 2 dR/|cos| per
+            # reflection), so d log p / dR picks up the kappa jump.
+            # Both are likelihood scores of the ANALOG path measure:
+            # exact for the choice/extinction factors; the geometric
+            # relocation of later path vertices (a boundary-integral
+            # term) is not included -- see tools/validate_gradients.py
+            # for the validated domains.
+            inv = cfg.inverse_prim
+            i1 = (layer_l == inv).astype(dtype)
+            i2 = (new_layer == inv).astype(dtype)
+
+            def _fres(a, b):
+                return fresnel_coeff(dirc, nvec, a, b)
+
+            _, dri = jax.jvp(_fres, (n1, n2), (i1, i2))
+            s_ch = jnp.where(
+                refl, dri / jnp.maximum(ri, 1e-9),
+                -dri / jnp.maximum(1.0 - ri, 1e-9),
+            )
+            fres_ev = jnp.logical_and(
+                needf, jnp.logical_or(refl, jnp.logical_and(
+                    crossing, jnp.logical_not(refl))),
+            )
+            pmc_fn_l = pmc_fn_l + jnp.where(fres_ev, s_ch, 0.0)
+
+            hit_layer = layer_of_concat[jnp.clip(prim_l, 0,
+                                                 scene.n_prims - 1)]
+            inv_srf = jnp.logical_and(srf, hit_layer == inv)
+            costh = jnp.maximum(jnp.abs(jnp.sum(dirc * nvec, axis=-1)),
+                                1e-3)
+            kappa_new = _opt_lookup(tables, tables.kappa, new_layer,
+                                    wavelength_l)
+            k_in = jnp.where(layer_l == inv, kappa_l, kappa_new)
+            k_out = jnp.where(layer_l == inv, kappa_new, kappa_l)
+            s_cross = (k_out - k_in) / costh
+            s_refl = jnp.where(layer_l == inv, -2.0, 2.0) * kappa_l / costh
+            crossing_inv = jnp.logical_and(
+                inv_srf, jnp.logical_and(crossing,
+                                         jnp.logical_not(refl)))
+            refl_inv = jnp.logical_and(inv_srf, refl)
+            pmc_bn_l = pmc_bn_l + jnp.where(crossing_inv, s_cross, 0.0) \
+                + jnp.where(refl_inv, s_refl, 0.0)
+
         # --- deposits: the interval plus, for transmitting lanes, the
         # crossing nudge (the reference walks + deposits its smallstep,
         # inttau2.f90:75-146) -------------------------------------------
@@ -739,6 +801,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
                 pmc_cnt_l = jnp.where(resp, 0.0, pmc_cnt_l)
                 pmc_len_l = jnp.where(resp, 0.0, pmc_len_l)
                 pmc_hg_l = jnp.where(resp, 0.0, pmc_hg_l)
+                pmc_fn_l = jnp.where(resp, 0.0, pmc_fn_l)
+                pmc_bn_l = jnp.where(resp, 0.0, pmc_bn_l)
 
         newtau = -jnp.log(u_r[:, 3])
         # the crossing nudge is charged at the NEW medium's kappa, like
@@ -820,7 +884,9 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
                     [hitw,
                      hitw * pmc_cnt_l[:, None],
                      hitw * len_at_hit,
-                     hitw * pmc_hg_l[:, None]], axis=-1)
+                     hitw * pmc_hg_l[:, None],
+                     hitw * pmc_fn_l[:, None],
+                     hitw * pmc_bn_l[:, None]], axis=-1)
                 pmc_stats_add = pmc_stats_add + jnp.sum(stats_r, axis=0)
         if cfg.inverse_prim > 0:
             # segment length attributed AFTER the hit test (hits see the
@@ -925,7 +991,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             cont_f, prim_l, layer_l, alive_new, steps_l, bounces_l,
             wavelength_l, phase_l, n_resp, flat_k, deps_k, absorb_w,
             absorb_flat, n_scat, n_inter, mom_pos, mom_pos2, bank_out,
-            hit_acc, (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_stats_add),
+            hit_acc, (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_fn_l,
+                      pmc_bn_l, pmc_stats_add),
             cand_used)
 
 
@@ -1010,6 +1077,8 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     pmc_cnt = jnp.where(respawn, 0.0, st.pmc_cnt)
     pmc_len = jnp.where(respawn, 0.0, st.pmc_len)
     pmc_hg = jnp.where(respawn, 0.0, st.pmc_hg)
+    pmc_fn = jnp.where(respawn, 0.0, st.pmc_fn)
+    pmc_bn = jnp.where(respawn, 0.0, st.pmc_bn)
 
     history = st.history
     hist_n = st.hist_n
@@ -1157,6 +1226,44 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
             overbounced,
             jnp.logical_and(trapped, jnp.logical_not(survive_rr)),
         )
+
+    if cfg.inverse_prim > 0:
+        # n / shape likelihood scores for boundary events resolved in the
+        # ANALYSIS phase (the chained walk accumulates the same scores for
+        # in-chain events; see _chained_dda)
+        inv = cfg.inverse_prim
+        i1s = (layer == inv).astype(dtype)
+        i2s = (new_layer == inv).astype(dtype)
+
+        def _fres_a(a, b):
+            return fresnel_coeff(direction, nvec, a, b)
+
+        _, dri_a = jax.jvp(_fres_a, (n1, n2), (i1s, i2s))
+        s_ch = jnp.where(
+            reflecting, dri_a / jnp.maximum(ri, 1e-9),
+            -dri_a / jnp.maximum(1.0 - ri, 1e-9),
+        )
+        fres_ev = jnp.logical_and(
+            need_fresnel, jnp.logical_or(reflecting, transmitting)
+        )
+        pmc_fn = pmc_fn + jnp.where(fres_ev, s_ch, 0.0)
+
+        inv_srf = jnp.logical_and(on_boundary, bprim == inv)
+        costh = jnp.maximum(jnp.abs(jnp.sum(direction * nvec, axis=-1)),
+                            1e-3)
+        kappa_new_a = _opt_lookup(tables, tables.kappa, new_layer,
+                                  wavelength)
+        k_in = jnp.where(layer == inv, kappa, kappa_new_a)
+        k_out = jnp.where(layer == inv, kappa_new_a, kappa)
+        cross_inv = jnp.logical_and(
+            inv_srf, jnp.logical_and(crossing,
+                                     jnp.logical_not(reflecting)))
+        refl_inv = jnp.logical_and(inv_srf, reflecting)
+        pmc_bn = pmc_bn + \
+            jnp.where(cross_inv, (k_out - k_in) / costh, 0.0) + \
+            jnp.where(refl_inv,
+                      jnp.where(layer == inv, -2.0, 2.0) * kappa / costh,
+                      0.0)
 
     # --- segment selection -----------------------------------------------
     # The segment of an interior lane ends at min(optical-depth distance,
@@ -1317,8 +1424,10 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                     [hitw,
                      hitw * pmc_cnt[:, None],
                      hitw * len_at_hit,
-                     hitw * pmc_hg[:, None]], axis=-1,
-                )  # [B, ndect, 4]
+                     hitw * pmc_hg[:, None],
+                     hitw * pmc_fn[:, None],
+                     hitw * pmc_bn[:, None]], axis=-1,
+                )  # [B, ndect, 6]
                 pmc_stats = pmc_stats + jnp.sum(stats, axis=0)
         else:
             bank = record_hits(bank, pos, direction, seg_len_all,
@@ -1414,7 +1523,8 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
             seg_rem, seg_interact, seg_srf, seg_cont, seg_prim, layer,
             alive, steps, bounces, wavelength, phase, tables, land_eps,
             seg_cap, mom_pos, mom_pos2, bank=bank,
-            pmc=(pmc_cnt, pmc_len, pmc_hg), respawn=respawn_cand)
+            pmc=(pmc_cnt, pmc_len, pmc_hg, pmc_fn, pmc_bn),
+            respawn=respawn_cand)
         launched = launched + n_resp_c
         if cfg.record_emission and respawn_cand is not None:
             # launch voxels of consumed in-chain candidates (parity with
@@ -1434,7 +1544,8 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                 flat_sid.reshape(-1)
             ].add(hit_acc_c.reshape(-1)).reshape(escape_tot.shape)
         if cfg.inverse_prim > 0:
-            pmc_cnt, pmc_len, pmc_hg, pmc_add = pmc_out
+            (pmc_cnt, pmc_len, pmc_hg, pmc_fn, pmc_bn,
+             pmc_add) = pmc_out
             pmc_stats = pmc_stats + pmc_add
         if cfg.record_fluence:
             jmean = tl.jmean.at[flat_k.reshape(-1)].add(
@@ -1662,6 +1773,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         bounces=bounces, steps=steps, phase=phase, wavelength=wavelength,
         sid=sid, history=history, hist_n=hist_n,
         pmc_cnt=pmc_cnt, pmc_len=pmc_len, pmc_hg=pmc_hg,
+        pmc_fn=pmc_fn, pmc_bn=pmc_bn,
     )
     new_tallies = Tallies(
         jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,
@@ -1691,7 +1803,7 @@ def init_carry(grid: CartGrid, cfg: TransportConfig, bank=None,
                                             max(cfg.history_len, 1)),
                              phasor=cfg.record_phasor,
                              pmc_shape=(
-                                 n_dect if cfg.inverse_prim > 0 else 0, 4
+                                 n_dect if cfg.inverse_prim > 0 else 0, 6
                              )),
         bank=bank,
         launched=jnp.zeros((), jnp.int32),

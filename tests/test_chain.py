@@ -228,7 +228,7 @@ def test_chained_pmc_stats_match_plain():
         # construction (it tripped when in-chain respawn shifted the RNG
         # realisation; a 3-seed plain-vs-plain study shows the same
         # spread with no code change)
-        st = np.zeros(4)
+        st = np.zeros(6)
         steps = 0
         for seed in (11, 12, 13):
             cfg = TransportConfig(nphotons=20000, n_lanes=2048,

@@ -1,0 +1,146 @@
+"""Estimator gradients for n and SDF shape (round 4, VERDICT r3 next #4).
+
+The pMC sufficient statistics carry two new per-photon scores:
+
+- ``pmc_fn``: Fresnel-choice score Sum d log P(reflect|transmit)/d n_inv.
+  For detected totals whose value depends on n only through the
+  reflect/transmit choices (no absorption, full-face detector), this is
+  the EXACT derivative; validated here against the closed-form slab
+  transmission T = (1-R)/(1+R).
+- ``pmc_bn``: boundary extinction score d log p / dR (kappa jump per
+  surface crossing / reflection).  Exact when mus and n are continuous
+  across the boundary (path geometry independent of R); validated
+  against common-random-number finite differences on a matched-index
+  mua-contrast sphere.
+
+The geometric relocation terms excluded from each score are documented
+in the engine; the reference has no working gradients at all (its
+inverse loop is dead code, kernelsMod.f90:1663-1749).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsmcrt_tpu.detectors.detectors import CircleDetectors, DetectorBank
+from rsmcrt_tpu.grid import cart_grid
+from rsmcrt_tpu.optics.properties import mono
+from rsmcrt_tpu.sdfs import scene as S
+from rsmcrt_tpu.sources.sources import build_source
+from rsmcrt_tpu.transport.engine import TransportConfig, simulate
+from rsmcrt_tpu.transport.fresnel import fresnel_coeff
+
+
+def _bank(z, radius=2.8):
+    circ = CircleDetectors(
+        pos=jnp.asarray([[0.0, 0.0, z]]),
+        dir=jnp.asarray([[0.0, 0.0, 1.0]]),
+        radius=jnp.asarray([radius]),
+        bin_wid=jnp.asarray([radius / 4]),
+        data=jnp.zeros((1, 5), jnp.float32),
+        nbins=4,
+    )
+    return DetectorBank(
+        circle=circ, annulus=None, fibre=None, camera=None,
+        target_values=jnp.asarray([-1.0]), order=(("circle", 0),),
+        ids=("t",), layers=(2,),
+    )
+
+
+@pytest.mark.parametrize("chain", [False, True])
+def test_fresnel_choice_score_matches_analytic_slab(chain):
+    """Vacuum slab (mus = mua = 0, n = 1.5) at oblique incidence: the
+    transmission is T = (1-R)/(1+R) (geometric series over internal
+    reflections) and depends on n ONLY through the Fresnel choices, so
+    the choice score is the exact dT/dn."""
+    n_slab = 1.5
+    theta = np.deg2rad(40.0)
+    d = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
+
+    def T_of_n(nv):
+        R = fresnel_coeff(jnp.asarray(d)[None],
+                          jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                          jnp.asarray([1.0]), jnp.asarray([nv]))[0]
+        return (1.0 - R) / (1.0 + R)
+
+    dT_exact = float(jax.grad(lambda v: T_of_n(v))(jnp.asarray(n_slab)))
+    T_exact = float(T_of_n(jnp.asarray(n_slab)))
+
+    scene = S.build_scene([
+        S.box([5.8, 5.8, 0.5], mono(0.0, 0.0, 0.0, n_slab), 1),
+        S.box([6.0, 6.0, 4.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(16, 16, 16, 3.0, 3.0, 2.0)
+    src = build_source("pencil", position=[-0.6, 0.0, -1.2],
+                       direction=d.tolist())
+    n = 60_000
+    cfg = TransportConfig(nphotons=n, n_lanes=4096, inverse_prim=1,
+                          record_fluence=False, chain_scatter=chain)
+    t, b, launched, _ = simulate(scene, src, grid, jax.random.key(2),
+                                 cfg, bank=_bank(1.0), chunk_steps=256)
+    N = int(launched)
+    stats = np.asarray(t.pmc_stats)[0]
+    T_mc = stats[0] / N
+    dT_mc = stats[4] / N
+    # the MC transmission reproduces the closed form
+    assert T_mc == pytest.approx(T_exact, abs=4.0 * np.sqrt(
+        T_exact * (1 - T_exact) / N) + 1e-3), (T_mc, T_exact)
+    # score estimator vs analytic derivative: the score variance per
+    # photon is O(1), so sem ~ sqrt(Var/N); gate at ~5 sem
+    sem = float(np.sqrt(max(stats_var(t, N), 1e-12)))
+    assert dT_mc == pytest.approx(dT_exact, abs=max(5 * sem,
+                                                    0.02 * abs(dT_exact))
+                                  ), (dT_mc, dT_exact, sem)
+
+
+def stats_var(t, N):
+    # crude sem bound for the score estimator: per-photon scores are
+    # O(few); bound Var by E[s^2] <= (max plausible score)^2 * T
+    return 25.0 / N
+
+
+def test_boundary_extinction_score_matches_crn_fd():
+    """Matched-index, mus-continuous sphere with a mua contrast: paths
+    are independent of the radius, so the extinction-crossing score is
+    the exact dT/dR.  Compared against a common-random-number central
+    difference."""
+    mus, g = 5.0, 0.3
+    mua_in, mua_out = 1.0, 0.05
+
+    def build(r):
+        return S.build_scene([
+            S.sphere(r, mono(mus, mua_in, g, 1.0), 1),
+            S.box([2.0, 2.0, 2.0], mono(mus, mua_out, g, 1.0), 2),
+        ])
+
+    grid = cart_grid(16, 16, 16, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    n = 60_000
+    r0, h = 0.7, 0.03
+    key = jax.random.key(7)
+
+    def run(scene, inverse=0):
+        cfg = TransportConfig(nphotons=n, n_lanes=4096,
+                              inverse_prim=inverse,
+                              record_fluence=False)
+        t, b, launched, _ = simulate(scene, src, grid, key, cfg,
+                                     bank=_bank(0.9, radius=1.0),
+                                     chunk_steps=256)
+        from rsmcrt_tpu.detectors.detectors import totals
+
+        return (np.asarray(t.pmc_stats) if inverse else None,
+                float(totals(b)[0]), int(launched))
+
+    stats, T0, N = run(build(r0), inverse=1)
+    dT_score = stats[0][5] / N
+    _, T_hi, N_hi = run(build(r0 + h))
+    _, T_lo, N_lo = run(build(r0 - h))
+    dT_fd = (T_hi / N_hi - T_lo / N_lo) / (2 * h)
+    assert dT_score != 0.0
+    # both estimators see the same sign and magnitude; CRN FD noise at
+    # these statistics is the limiting factor
+    assert np.sign(dT_score) == np.sign(dT_fd), (dT_score, dT_fd)
+    assert dT_score == pytest.approx(
+        dT_fd, rel=0.35, abs=0.05 * abs(dT_fd) + 0.02
+    ), (dT_score, dT_fd)
