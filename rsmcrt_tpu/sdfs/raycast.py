@@ -207,7 +207,7 @@ def ray_cone(p, d, a, b, ra, rb):
     return _first_pos(side_ok(t1), side_ok(t2), cap(0.0, ra), cap(1.0, rb))
 
 
-def _newton_polish(sd_fn, p, d, t, iters=3):
+def _newton_polish(sd_fn, p, d, t, iters=2):
     """Refine root candidates ``t`` of ``sd_fn(p + t d) = 0`` with Newton
     steps (jvp gives the directional derivative).  Invalid (inf) lanes pass
     through untouched; steps are clamped to stay near the seed so a polish
@@ -224,7 +224,8 @@ def _newton_polish(sd_fn, p, d, t, iters=3):
     return jnp.where(jnp.isfinite(t), tf, t)
 
 
-def _validated_first(sd_fn, p, d, cands, tol=2e-3, t_min=1e-5):
+def _validated_first(sd_fn, p, d, cands, tol=2e-3, t_min=1e-5,
+                     iters=2):
     """Newton-polish each candidate and keep the first strictly positive
     one that truly lies on the surface (|sd| < tol).  Quartic roots in f32
     carry O(1e-2) error; the polish converges quadratically on the real
@@ -234,7 +235,7 @@ def _validated_first(sd_fn, p, d, cands, tol=2e-3, t_min=1e-5):
     guards against."""
     best = jnp.full(p.shape[:-1], _INF, p.dtype)
     for t in cands:
-        t = _newton_polish(sd_fn, p, d, t)
+        t = _newton_polish(sd_fn, p, d, t, iters=iters)
         sd_at = sd_fn(p + t[..., None] * d)
         ok = jnp.logical_and(
             jnp.logical_and(jnp.isfinite(t), t > t_min),
@@ -417,16 +418,19 @@ def ray_egg_revolution(p, d, center, o, r1, r2, h):
         return sd_egg(q2, r1, r2, h)
 
     pc = p - center
-    cands = []
-    # bottom sheet: torus(R=o, rad=r1) about y=0
-    cands += _torus_quartic_cands(pc, d, o * o, r1)
-    # top sheet: torus(R=o, rad=rtop) about y=h_in
+    # bottom / top sheets: at o=0 (every scene builder) the quartic
+    # degenerates to a plain sphere whose roots are already exact --
+    # one polish iteration suffices (halves the probe's jvp evals)
+    cands_sph = []
+    cands_sph += _torus_quartic_cands(pc, d, o * o, r1)
     shift = jnp.zeros_like(pc).at[..., 1].set(1.0) * h_in
-    cands += _torus_quartic_cands(pc - shift, d, o * o, rtop)
+    cands_sph += _torus_quartic_cands(pc - shift, d, o * o, rtop)
     # side sheet: torus(R=o-el, rad=r1+el)
     Rs = o - el
-    cands += _torus_quartic_cands(pc, d, Rs * Rs, r1 + el)
-    return _validated_first(sd_fn, p, d, cands)
+    cands_q = _torus_quartic_cands(pc, d, Rs * Rs, r1 + el)
+    t_sph = _validated_first(sd_fn, p, d, cands_sph, iters=1)
+    t_q = _validated_first(sd_fn, p, d, cands_q, iters=2)
+    return jnp.minimum(t_sph, t_q)
 
 
 def _ray_prim(spec, params, pos, dirn):

@@ -19,6 +19,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+try:  # reuse bench.py's persistent compile cache across profiling runs
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 from bench import bench_case  # noqa: E402
 from rsmcrt_tpu.grid import cart_grid  # noqa: E402
 from rsmcrt_tpu.scenes import setup_simulation  # noqa: E402
@@ -48,7 +55,12 @@ def egg_case():
 def omg_case():
     scene = S.build_scene(setup_simulation("omg", {}))
     grid = cart_grid(200, 200, 200, 1.0, 1.0, 1.0)
-    src = build_source("uniform", position=[0.0, 0.0, -1.99],
+    # uniform xy sheet just inside the -z wall firing up through the
+    # lettering (reference omg.toml uses a uniform source)
+    src = build_source("uniform",
+                       point1=[-1.0, -1.0, -1.95],
+                       point2=[2.0, 0.0, 0.0],
+                       point3=[0.0, 2.0, 0.0],
                        direction=[0.0, 0.0, 1.0])
     return scene, grid, src
 
