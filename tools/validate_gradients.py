@@ -22,6 +22,120 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def score_validation(nphotons: int, lanes: int, seeds: int):
+    """High-stat validation of the round-4 n / shape likelihood scores in
+    their exact domains (VERDICT r3 next #4):
+
+    - n: Fresnel-choice score vs the CLOSED-FORM slab transmission
+      derivative d/dn (1-R)/(1+R) -- no FD noise at all;
+    - radius: boundary extinction score vs Richardson-extrapolated CRN
+      central differences on a matched-index mua-contrast sphere.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rsmcrt_tpu.detectors.detectors import (CircleDetectors,
+                                                DetectorBank, totals)
+    from rsmcrt_tpu.grid import cart_grid
+    from rsmcrt_tpu.optics.properties import mono
+    from rsmcrt_tpu.sdfs import scene as S
+    from rsmcrt_tpu.sources.sources import build_source
+    from rsmcrt_tpu.transport.engine import (TransportConfig, simulate,
+                                             warmup)
+    from rsmcrt_tpu.transport.fresnel import fresnel_coeff
+
+    def bank(z, radius):
+        circ = CircleDetectors(
+            pos=jnp.asarray([[0.0, 0.0, z]]),
+            dir=jnp.asarray([[0.0, 0.0, 1.0]]),
+            radius=jnp.asarray([radius]),
+            bin_wid=jnp.asarray([radius / 4]),
+            data=jnp.zeros((1, 5), jnp.float32), nbins=4,
+        )
+        return DetectorBank(
+            circle=circ, annulus=None, fibre=None, camera=None,
+            target_values=jnp.asarray([-1.0]), order=(("circle", 0),),
+            ids=("t",), layers=(2,),
+        )
+
+    # --- n: vacuum slab at 40 deg vs closed form ------------------------
+    n_slab, theta = 1.5, np.deg2rad(40.0)
+    d = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
+
+    def T_of_n(nv):
+        R = fresnel_coeff(jnp.asarray(d)[None],
+                          jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                          jnp.asarray([1.0]), jnp.asarray([nv]))[0]
+        return (1.0 - R) / (1.0 + R)
+
+    dT_exact = float(jax.grad(lambda v: T_of_n(v))(jnp.asarray(n_slab)))
+    scene = S.build_scene([
+        S.box([5.8, 5.8, 0.5], mono(0.0, 0.0, 0.0, n_slab), 1),
+        S.box([6.0, 6.0, 4.0], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(16, 16, 16, 3.0, 3.0, 2.0)
+    src = build_source("pencil", position=[-0.6, 0.0, -1.2],
+                       direction=d.tolist())
+    cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
+                          inverse_prim=1, record_fluence=False,
+                          chain_scatter=True)
+    vals = []
+    for s in range(seeds):
+        t, b, nl, _ = simulate(scene, src, grid, jax.random.key(50 + s),
+                               cfg, bank=bank(1.0, 2.8), chunk_steps=96)
+        vals.append(float(np.asarray(t.pmc_stats)[0, 4]) / int(nl))
+    v = np.asarray(vals)
+    est, sem = v.mean(), v.std() / np.sqrt(len(v))
+    print(f"{'n':8s} {est:12.5f} {sem:10.5f} {dT_exact:12.5f} "
+          f"{'(exact)':>10s} {(est - dT_exact) / abs(dT_exact):+9.4f}",
+          flush=True)
+
+    # --- radius: matched-index sphere vs Richardson CRN FD --------------
+    mus, g, mua_in, mua_out, r0 = 5.0, 0.3, 1.0, 0.05, 0.7
+
+    def build(r):
+        return S.build_scene([
+            S.sphere(r, mono(mus, mua_in, g, 1.0), 1),
+            S.box([2.0, 2.0, 2.0], mono(mus, mua_out, g, 1.0), 2),
+        ])
+
+    grid2 = cart_grid(16, 16, 16, 1.0, 1.0, 1.0)
+    src2 = build_source("point", position=[0.0, 0.0, 0.0])
+
+    def run_r(r, seed, inverse):
+        cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
+                              inverse_prim=inverse,
+                              record_fluence=False, chain_scatter=True)
+        t, b, nl, _ = simulate(build(r), src2, grid2,
+                               jax.random.key(seed), cfg,
+                               bank=bank(0.9, 1.0), chunk_steps=96)
+        st = np.asarray(t.pmc_stats)[0, 5] if inverse else 0.0
+        return float(st), float(totals(b)[0]), int(nl)
+
+    vals = []
+    for s in range(seeds):
+        st, _, nl = run_r(r0, 70 + s, 1)
+        vals.append(st / nl)
+    v = np.asarray(vals)
+    est, sem = v.mean(), v.std() / np.sqrt(len(v))
+
+    def fd_at(h, seed_base):
+        out = []
+        for s in range(seeds):
+            _, hi, n_hi = run_r(r0 + h, seed_base + s, 0)
+            _, lo, n_lo = run_r(r0 - h, seed_base + s, 0)
+            out.append((hi / n_hi - lo / n_lo) / (2 * h))
+        o = np.asarray(out)
+        return o.mean(), o.std() / np.sqrt(len(o))
+
+    f1, s1 = fd_at(0.04, 900)
+    f2, s2 = fd_at(0.02, 900)
+    fdm = (4.0 * f2 - f1) / 3.0
+    fsem = np.sqrt(16.0 * s2 ** 2 + s1 ** 2) / 3.0
+    print(f"{'radius':8s} {est:12.5f} {sem:10.5f} {fdm:12.5f} "
+          f"{fsem:10.5f} {(est - fdm) / abs(fdm):+9.4f}", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-n", type=int, default=1_000_000)
@@ -34,7 +148,15 @@ def main():
                    help="independent seed count for the FD side")
     p.add_argument("--richardson", action="store_true",
                    help="Richardson-extrapolate the FD (two step sizes)")
+    p.add_argument("--scores", action="store_true",
+                   help="validate the round-4 n/shape likelihood scores "
+                        "in their exact domains instead")
     args = p.parse_args()
+    if args.scores:
+        print(f"{'param':8s} {'estimator':>12s} {'est sem':>10s} "
+              f"{'reference':>12s} {'ref sem':>10s} {'rel diff':>9s}")
+        score_validation(args.n, args.lanes, args.s)
+        return
 
     from rsmcrt_tpu.inverse import (
         _forward, _prim_group_slot, _set_prim_optics, _set_prim_shape,
