@@ -20,6 +20,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rsmcrt_tpu.grid import cart_grid
 from rsmcrt_tpu.optics.properties import mono
@@ -76,6 +77,7 @@ def test_grad_mua_matches_fd():
     assert abs(g - fd) <= max(1e-3, 0.02 * abs(fd)), (g, fd)
 
 
+@pytest.mark.slow
 def test_grad_flows_through_fresnel_chained_step():
     """The chained megastep (inline scatter + Fresnel) must also be
     differentiable: grad of total fluence wrt mua through a chained run

@@ -9,6 +9,7 @@ exactly (same RNG stream -> bitwise-identical tallies).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rsmcrt_tpu.detectors.detectors import CircleDetectors, DetectorBank
 from rsmcrt_tpu.grid import cart_grid
@@ -106,6 +107,7 @@ def test_chained_detectors_match_plain_statistically():
     assert np.abs(p0 - p1).sum() < 0.35, (p0, p1)
 
 
+@pytest.mark.slow
 def test_chained_survival_bias_matches_plain_statistically():
     """Round 3: survival bias chains (per-interaction w*(1-albedo)
     deposits inside the walk).  Energy bookkeeping must agree with the
@@ -165,6 +167,7 @@ def test_chained_fluenceless_matches_plain_statistically():
     assert out is not None
 
 
+@pytest.mark.slow
 def test_chain_respawn_budget_exact():
     """In-chain respawn must keep the launch budget exact for budgets
     around and below the wavefront width (respawn disables itself within
@@ -298,6 +301,7 @@ def test_chain_falls_back_exactly_on_nonanalytic_scene():
     assert int(r0[3]) == int(r1[3])
 
 
+@pytest.mark.slow
 def test_chained_march_modifier_scene_matches_plain():
     """Round 4: non-analytic scenes chain via the in-chain bounded march
     (_segment_probe).  A twist-modifier scene with a refractive boundary
@@ -362,6 +366,7 @@ def _tally_match(t0, t1, n):
     assert abs(na - nb) / max(na, 1e-9) < 0.07, (na, nb)
 
 
+@pytest.mark.slow
 def test_chained_torus_matches_plain_statistically():
     """Round-4 quartic raycast: a torus scene (with refractive boundary)
     chains; physics must match the plain walk (reference sd_torus,
@@ -384,6 +389,7 @@ def test_chained_torus_matches_plain_statistically():
     _tally_match(t0, t1, n)
 
 
+@pytest.mark.slow
 def test_chained_egg_scene_matches_plain_statistically():
     """The egg scene's revolution-of-egg shells are analytic (round 4):
     the full 4-prim egg scene chains and matches the plain walk

@@ -2,6 +2,7 @@
 writer.f90:426-457)."""
 
 import numpy as np
+import pytest
 
 from rsmcrt_tpu.kernels import default_MCRT
 
@@ -36,6 +37,7 @@ checkpoint_every_n = 1000000
 """
 
 
+@pytest.mark.slow
 def test_resume_continues_photon_budget(tmp_path):
     ckpt = tmp_path / "check.ckpt"
     cfg1 = tmp_path / "first.toml"

@@ -41,7 +41,10 @@ def _sphere_scene(n_inner=1.38):
     ])
 
 
-@pytest.mark.parametrize("chain", [False, True])
+@pytest.mark.parametrize(
+    "chain",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+)
 def test_tangent_ray(chain):
     # pencil exactly tangent to the sphere (impact parameter == radius):
     # the raycast discriminant is ~0; must neither NaN nor creep forever
@@ -50,7 +53,10 @@ def test_tangent_ray(chain):
     _run(_sphere_scene(), src, chain)
 
 
-@pytest.mark.parametrize("chain", [False, True])
+@pytest.mark.parametrize(
+    "chain",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+)
 def test_launch_exactly_on_surface(chain):
     # point source ON the sphere surface: d_sdf = 0 at emission -- the
     # analysis-phase boundary branch must resolve the layer by nudging
@@ -59,7 +65,10 @@ def test_launch_exactly_on_surface(chain):
     assert float(jnp.sum(t.jmean)) > 0.0
 
 
-@pytest.mark.parametrize("chain", [False, True])
+@pytest.mark.parametrize(
+    "chain",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+)
 def test_corner_hit(chain):
     # pencil aimed exactly at a box corner (SDF subgradient point)
     scene = S.build_scene([
@@ -72,7 +81,10 @@ def test_corner_hit(chain):
     _run(scene, src, chain)
 
 
-@pytest.mark.parametrize("chain", [False, True])
+@pytest.mark.parametrize(
+    "chain",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+)
 def test_coincident_faces(chain):
     # nested boxes sharing the z = +0.5 face (the exp scene's nested
     # cylinders have the same structure): crossing the shared face is a
@@ -86,7 +98,10 @@ def test_coincident_faces(chain):
     _run(scene, src, chain)
 
 
-@pytest.mark.parametrize("chain", [False, True])
+@pytest.mark.parametrize(
+    "chain",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+)
 def test_exact_normal_incidence_transmits(chain):
     # reference parity quirk: costt == 1 -> coefficient 0 -> transmit
     # (surfaces.f90:111-114).  A pencil along the sphere axis in a
@@ -103,7 +118,10 @@ def test_exact_normal_incidence_transmits(chain):
     assert beyond > 0.0
 
 
-@pytest.mark.parametrize("chain", [False, True])
+@pytest.mark.parametrize(
+    "chain",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+)
 def test_grazing_fresnel_tir_terminates(chain):
     # wide-angle source inside a high-index sphere: many TIR bounces at
     # grazing incidence; the 1000-bounce cap must terminate every lane

@@ -68,11 +68,11 @@ def test_fresnel_choice_score_matches_analytic_slab(chain):
     T_exact = float(T_of_n(jnp.asarray(n_slab)))
 
     scene = S.build_scene([
-        S.box([5.8, 5.8, 0.5], mono(0.0, 0.0, 0.0, n_slab), 1),
+        S.box([5.8, 5.8, 0.2], mono(0.0, 0.0, 0.0, n_slab), 1),
         S.box([6.0, 6.0, 4.0], mono(0.0, 0.0, 0.0, 1.0), 2),
     ])
     grid = cart_grid(16, 16, 16, 3.0, 3.0, 2.0)
-    src = build_source("pencil", position=[-0.6, 0.0, -1.2],
+    src = build_source("pencil", position=[-0.3, 0.0, -1.2],
                        direction=d.tolist())
     n = 60_000
     cfg = TransportConfig(nphotons=n, n_lanes=4096, inverse_prim=1,

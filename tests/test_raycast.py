@@ -17,7 +17,7 @@ from rsmcrt_tpu.sdfs import raycast, scene as S
 from rsmcrt_tpu.sdfs.scene import eval_scene
 
 
-def brute_first_crossing(scene, p0, d, t_max=6.0, n=60000):
+def brute_first_crossing(scene, p0, d, t_max=6.0, n=24000):
     """First sign change of any prim's SDF along the ray by dense sampling +
     bisection refinement."""
     ts = np.linspace(0.0, t_max, n)
@@ -74,7 +74,9 @@ def _prims(rng):
     ]
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize(
+    "seed", [0, pytest.param(1, marks=pytest.mark.slow)]
+)
 def test_ray_bound_matches_bruteforce(seed):
     rng = np.random.default_rng(seed)
     for prim in _prims(rng):
@@ -216,6 +218,7 @@ def test_revolved_egg_analytic():
     assert hits >= 10
 
 
+@pytest.mark.slow
 def test_torus_no_missed_crossings():
     """Dense sweep: every brute-force crossing must be found (a missed
     crossing lets photons tunnel through the surface unnoticed)."""

@@ -70,11 +70,11 @@ def score_validation(nphotons: int, lanes: int, seeds: int):
 
     dT_exact = float(jax.grad(lambda v: T_of_n(v))(jnp.asarray(n_slab)))
     scene = S.build_scene([
-        S.box([5.8, 5.8, 0.5], mono(0.0, 0.0, 0.0, n_slab), 1),
+        S.box([5.8, 5.8, 0.2], mono(0.0, 0.0, 0.0, n_slab), 1),
         S.box([6.0, 6.0, 4.0], mono(0.0, 0.0, 0.0, 1.0), 2),
     ])
     grid = cart_grid(16, 16, 16, 3.0, 3.0, 2.0)
-    src = build_source("pencil", position=[-0.6, 0.0, -1.2],
+    src = build_source("pencil", position=[-0.3, 0.0, -1.2],
                        direction=d.tolist())
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
                           inverse_prim=1, record_fluence=False,
