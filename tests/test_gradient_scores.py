@@ -2,11 +2,12 @@
 
 The pMC sufficient statistics carry two new per-photon scores:
 
-- ``pmc_fn``: Fresnel-choice score Sum d log P(reflect|transmit)/d n_inv.
-  For detected totals whose value depends on n only through the
-  reflect/transmit choices (no absorption, full-face detector), this is
-  the EXACT derivative; validated here against the closed-form slab
-  transmission T = (1-R)/(1+R).
+- ``pmc_fn``: Fresnel-choice score Sum d log P(reflect|transmit)/d n_inv,
+  the PARTIAL derivative at fixed propagation directions.  Exact as
+  incidence -> normal (the angular reparameterization term -- interior
+  Snell angles depend on n -- vanishes as O(theta^2); at 40 deg it
+  measures -7.8% on this slab, recorded in STATUS.md).  Validated here
+  at 2 deg against the closed-form slab transmission T = (1-R)/(1+R).
 - ``pmc_bn``: boundary extinction score d log p / dR (kappa jump per
   surface crossing / reflection).  Exact when mus and n are continuous
   across the boundary (path geometry independent of R); validated
@@ -50,12 +51,14 @@ def _bank(z, radius=2.8):
 
 @pytest.mark.parametrize("chain", [False, True])
 def test_fresnel_choice_score_matches_analytic_slab(chain):
-    """Vacuum slab (mus = mua = 0, n = 1.5) at oblique incidence: the
-    transmission is T = (1-R)/(1+R) (geometric series over internal
-    reflections) and depends on n ONLY through the Fresnel choices, so
-    the choice score is the exact dT/dn."""
+    """Vacuum slab (mus = mua = 0, n = 1.5) at near-normal incidence
+    (2 deg -- exactly-normal rays transmit unconditionally by reference
+    parity, surfaces.f90:111): the transmission is T = (1-R)/(1+R)
+    (geometric series over internal reflections) and its n-dependence
+    through the interior Snell angle is O(theta^2) ~ 1e-3, so the
+    Fresnel-choice score reproduces dT/dn at the 1e-3 bar."""
     n_slab = 1.5
-    theta = np.deg2rad(40.0)
+    theta = np.deg2rad(2.0)
     d = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
 
     def T_of_n(nv):
@@ -72,7 +75,7 @@ def test_fresnel_choice_score_matches_analytic_slab(chain):
         S.box([6.0, 6.0, 4.0], mono(0.0, 0.0, 0.0, 1.0), 2),
     ])
     grid = cart_grid(16, 16, 16, 3.0, 3.0, 2.0)
-    src = build_source("pencil", position=[-0.3, 0.0, -1.2],
+    src = build_source("pencil", position=[0.0, 0.0, -1.2],
                        direction=d.tolist())
     n = 60_000
     cfg = TransportConfig(nphotons=n, n_lanes=4096, inverse_prim=1,

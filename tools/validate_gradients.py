@@ -59,7 +59,7 @@ def score_validation(nphotons: int, lanes: int, seeds: int):
         )
 
     # --- n: vacuum slab at 40 deg vs closed form ------------------------
-    n_slab, theta = 1.5, np.deg2rad(40.0)
+    n_slab, theta = 1.5, np.deg2rad(2.0)
     d = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
 
     def T_of_n(nv):
@@ -74,7 +74,7 @@ def score_validation(nphotons: int, lanes: int, seeds: int):
         S.box([6.0, 6.0, 4.0], mono(0.0, 0.0, 0.0, 1.0), 2),
     ])
     grid = cart_grid(16, 16, 16, 3.0, 3.0, 2.0)
-    src = build_source("pencil", position=[-0.3, 0.0, -1.2],
+    src = build_source("pencil", position=[0.0, 0.0, -1.2],
                        direction=d.tolist())
     cfg = TransportConfig(nphotons=nphotons, n_lanes=lanes,
                           inverse_prim=1, record_fluence=False,
