@@ -1508,7 +1508,21 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                 source, grid, u_rsp[:, :n_src_u]
             )
             r_tau = -jnp.log(u_rsp[:, n_src_u])
-            r_layer = scene_layer(eval_scene(scene, r_pos))
+            # layer resolution with the analysis phase's eps-nudge: a
+            # candidate sampled exactly ON a surface (e.g. the slab
+            # validator's pencil at the face) must take the layer a
+            # forward probe lands in, not the sign-of-roundoff side --
+            # otherwise it transports with the WRONG medium (latent
+            # since round 3; exposed when chaining became the product
+            # default: slab Rd halved / Td inflated)
+            r_ds = eval_scene(scene, r_pos)
+            r_d_sdf = jnp.min(jnp.abs(r_ds), axis=-1)
+            r_probe = r_pos + (r_d_sdf + 2.0 * eps)[:, None] * r_dir
+            r_layer = jnp.where(
+                r_d_sdf < eps,
+                scene_layer(eval_scene(scene, r_probe)),
+                scene_layer(r_ds),
+            )
             r_flat, r_vok = voxel_flat_index(grid, get_voxel(grid, r_pos))
             allow = (launched + B) <= jnp.asarray(nphotons, jnp.int32)
             r_good = jnp.logical_and(r_layer > 0, r_vok)

@@ -424,3 +424,46 @@ def test_chained_egg_scene_matches_plain_statistically():
     assert int(n0) == int(n1) == n
     assert int(s1) < int(s0)
     _tally_match(t0, t1, n)
+
+
+def test_chain_respawn_on_boundary_source():
+    """Regression (round 4): a source that emits exactly ON a prim
+    surface (the slab validators' pencil at the face) must give in-chain
+    respawned photons the layer a forward probe lands in -- with the
+    sign-of-roundoff layer they transport through the WRONG medium
+    (slab Rd halved / Td inflated).  Chained and plain transmittance
+    must agree."""
+    from rsmcrt_tpu.detectors.detectors import totals
+
+    scene = S.build_scene([
+        S.box([4.0, 4.0, 0.04], mono(90.0, 10.0, 0.75, 1.0), 1),
+        S.box([4.4, 4.4, 0.06], mono(0.0, 0.0, 0.0, 1.0), 2),
+    ])
+    grid = cart_grid(16, 16, 16, 2.2, 2.2, 0.03)
+    src = build_source("pencil", position=[0.0, 0.0, -0.02],
+                       direction=[0.0, 0.0, 1.0])
+    arr = lambda v: jnp.asarray(v, jnp.float32)
+    circ = CircleDetectors(
+        pos=arr([[0.0, 0.0, -0.025], [0.0, 0.0, 0.025]]),
+        dir=arr([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]]),
+        radius=arr([2.0, 2.0]), bin_wid=arr([0.5, 0.5]),
+        data=jnp.zeros((2, 5), jnp.float32), nbins=4,
+    )
+    bank = DetectorBank(
+        circle=circ, annulus=None, fibre=None, camera=None,
+        target_values=jnp.full((2,), -1.0),
+        order=(("circle", 0), ("circle", 1)), ids=("r", "t"),
+        layers=(2, 2),
+    )
+    out = {}
+    for chain in (False, True):
+        cfg = TransportConfig(nphotons=6000, n_lanes=1024,
+                              record_fluence=False, chain_scatter=chain)
+        t, b, n, s = simulate(scene, src, grid, jax.random.key(5), cfg,
+                              bank=jax.tree_util.tree_map(jnp.array, bank),
+                              chunk_steps=256)
+        out[chain] = np.asarray(totals(b)) / int(n)
+    rd0, td0 = out[False]
+    rd1, td1 = out[True]
+    assert abs(td1 - td0) < 0.03, (out[False], out[True])
+    assert abs(rd1 - rd0) < 0.02, (out[False], out[True])

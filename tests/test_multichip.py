@@ -145,7 +145,7 @@ def test_sharded_pmc_stats():
                               bank=_circle_bank())
     sh = np.asarray(t_sh.pmc_stats) / int(l_sh)
     s1 = np.asarray(t_1.pmc_stats) / int(l_1)
-    assert sh.shape == (1, 4)
+    assert sh.shape == (1, 6)
     assert float(sh[0, 0]) > 0.0  # detected weight accumulated
     # statistically identical per-photon sufficient statistics
     assert np.allclose(sh, s1, rtol=0.25, atol=0.02), (sh, s1)
