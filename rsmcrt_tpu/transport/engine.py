@@ -966,7 +966,6 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     pos_new = p0 + s_prev[:, None] * dirc
     seg_rem_new = jnp.maximum(rem - s_prev, 0.0)
     alive_new = jnp.logical_and(alive, jnp.logical_not(died))
-    del ana_mask
     if cfg.record_fluence:
         flat_k = jnp.stack(flats, axis=-1)  # [B, K]
         deps_k = jnp.stack(vals, axis=-1)
