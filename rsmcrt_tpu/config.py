@@ -55,6 +55,7 @@ class Settings:
     overwrite: bool = False
     trackHistory: bool = False
     absorb: bool = False
+    phasor: bool = False
     ckptfreq: int = 1_000_000
     loadckpt: bool = False
     ckptfile: str = "check.ckpt"
@@ -117,7 +118,12 @@ def _parse_spectrum(table, res_dir: Path):
         sfile = table.get("spectrum_file")
         if sfile is None:
             raise ConfigError("1D spectrum requires spectrum_file")
-        arr = np.loadtxt(res_dir / sfile)
+        try:
+            arr = np.loadtxt(res_dir / sfile)
+        except ValueError:
+            # the reference's stdlib loadtxt accepts comma-separated
+            # columns (e.g. its blood.dat asset)
+            arr = np.loadtxt(res_dir / sfile, delimiter=",")
         return piecewise1d(arr)
     if stype == "2D":
         sfile = table.get("spectrum_file")
@@ -566,6 +572,10 @@ def _parse_simulation(cfg: dict, settings: Settings):
     settings.iseed = int(table.get("iseed", 123456789))
     settings.tev = bool(table.get("tev", False))
     settings.absorb = bool(table.get("absorb", False))
+    # product-path switch for the complex phasor tally (reference
+    # allocates phasor in iarray.f90:14 and accumulates phase in
+    # photon.f90; here the volume is actually written by finalise)
+    settings.phasor = bool(table.get("phasor", False))
     settings.loadckpt = bool(table.get("load_checkpoint", False))
     settings.ckptfile = table.get("checkpoint_file", "check.ckpt")
     settings.ckptfreq = int(table.get("checkpoint_every_n", 1_000_000))

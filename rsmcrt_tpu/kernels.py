@@ -94,7 +94,8 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
              n_lanes=None, survival_bias=False, seed=None,
              record_moments=False, max_scatter_order=0,
              max_steps=2_000_000, input_file=None,
-             history=False, record_fluence=True) -> SimResult:
+             history=False, record_fluence=True,
+             record_phasor=None) -> SimResult:
     """Forward simulation (reference: run_MCRT, kernelsMod.f90:1790-1898),
     including the live tev viewer (:1874-1887) and periodic checkpointing
     (:1863) via the chunked-progress callback."""
@@ -103,7 +104,10 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
     n_lanes = int(n_lanes if n_lanes is not None else
                   default_lanes(nphotons))
     track_history = history or st.trackHistory
+    if record_phasor is None:
+        record_phasor = st.phasor
     cfg = TransportConfig(
+        record_phasor=bool(record_phasor),
         nphotons=nphotons,
         n_lanes=n_lanes,
         survival_bias=survival_bias,
@@ -199,9 +203,25 @@ def finalise(result: SimResult, data_dir: str | Path = "data",
                data_dir / "emission" / st.rendersourcefile,
                overwrite=st.overwrite, metadata=metadata)
 
-    write_data(np.asarray(as_volume(grid, result.tallies.absorb)),
-               data_dir / "absorb" / "absorb.nrrd",
-               overwrite=st.overwrite, metadata=metadata)
+    if st.absorb:
+        # reference gates the absorb volume on [simulation] absorb
+        # (parse.f90:170, kernelsMod.f90:2388)
+        write_data(np.asarray(as_volume(grid, result.tallies.absorb)),
+                   data_dir / "absorb" / st.outfile_absorb,
+                   overwrite=st.overwrite, metadata=metadata)
+
+    if result.tallies.phasor_re.shape[0] > 0:
+        # complex phasor field (reference allocates phasor in
+        # iarray.f90:14; phase accumulates in photon.f90:712-781 for the
+        # dslit/aperture sources).  Written as magnitude + components so
+        # fringe patterns are directly inspectable.
+        pre = np.asarray(as_volume(grid, result.tallies.phasor_re))
+        pim = np.asarray(as_volume(grid, result.tallies.phasor_im))
+        mag = np.sqrt(pre * pre + pim * pim)
+        for name, vol in (("phasor.nrrd", mag), ("phasor_re.nrrd", pre),
+                          ("phasor_im.nrrd", pim)):
+            write_data(vol, data_dir / "phasor" / name,
+                       overwrite=st.overwrite, metadata=metadata)
 
     if result.bank is not None and result.bank.n_detectors > 0:
         write_detected_photons(result.bank, n, data_dir / "detectors")

@@ -128,6 +128,31 @@ def setup_exp(params: dict):
     ]
 
 
+def setup_lens(params: dict):
+    """Biconvex glass lens in vacuum -- an ORIGINAL scene.
+
+    The reference ships res/lens.toml but has no "lens" case in its
+    registry (setup.f90:33-60 would ``error stop``); here the config is
+    runnable: a biconvex lens as the CSG intersection of two spheres
+    (model machinery, reference sdfModifiers.f90:477), focusing the
+    uniform beam of lens.toml.
+    """
+    n_glass = float(params.get("lensN", 1.52))
+    r_curv = float(params.get("lensRadius", 0.9))
+    half_thick = float(params.get("lensThickness", 0.25)) / 2.0
+    opt_glass = mono(0.0, 1e-8, 0.0, n_glass)
+    c = r_curv - half_thick  # sphere centre offset for the cap overlap
+    s1 = S.sphere(r_curv, opt_glass, 1,
+                  transform=T.invert(T.translate(
+                      jnp.asarray([0.0, 0.0, -c], jnp.float32))))
+    s2 = S.sphere(r_curv, opt_glass, 1,
+                  transform=T.invert(T.translate(
+                      jnp.asarray([0.0, 0.0, c], jnp.float32))))
+    lens = S.model([s1, s2], "intersection")
+    bbox = S.box([2.0, 2.0, 2.0], mono(0.0, 0.0, 0.0, 1.0), 2)
+    return [lens, bbox]
+
+
 def setup_scat_test(params: dict):
     """tau-sphere scattering test (reference: setupGeometry.f90:409-435)."""
     tau = params.get("tau", 10.0)
@@ -336,4 +361,6 @@ def setup_simulation(geom_name: str, params: dict, res_dir="res"):
         return setup_egg(params)
     if geom_name == "exp":
         return setup_exp(params)
+    if geom_name == "lens":
+        return setup_lens(params)
     raise ValueError(f"no such routine: {geom_name}")

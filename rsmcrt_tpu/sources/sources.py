@@ -51,7 +51,12 @@ SOURCE_UNIFORM_COUNT = {
 
 
 def n_source_uniforms(source: "Source") -> int:
-    return SOURCE_UNIFORM_COUNT.get(source.kind, N_SOURCE_UNIFORMS)
+    n = SOURCE_UNIFORM_COUNT.get(source.kind, N_SOURCE_UNIFORMS)
+    if isinstance(source.spectrum, Piecewise2D):
+        # 2D image spectra draw two extra in-cell jitter uniforms
+        # (reference sample2D, piecewise.f90:171-190)
+        n += 2
+    return n
 
 
 @jax.tree_util.register_dataclass
@@ -67,13 +72,25 @@ def _normalise(v):
     return v / jnp.linalg.norm(v)
 
 
-def _spectrum_sample(spectrum, u):
+def _spectrum_sample(spectrum, u, u_full=None):
+    """Sample a wavelength per lane.  ``u`` is the selection uniform;
+    2D image spectra additionally consume the last two columns of
+    ``u_full`` as in-cell jitter (the reference's photon emitters use
+    the x coordinate of the 2D sample as the wavelength,
+    photon.f90:293/:347 with sample2D, piecewise.f90:171-190)."""
     if spectrum is None:
         return jnp.full_like(u, 500.0)
     if isinstance(spectrum, Constant):
         return jnp.broadcast_to(spectrum.value, u.shape)
     if isinstance(spectrum, Piecewise1D):
         return sample_piecewise1d(spectrum, u)
+    if isinstance(spectrum, Piecewise2D):
+        if u_full is not None and u_full.shape[-1] >= 2:
+            ux, uy = u_full[:, -2], u_full[:, -1]
+        else:
+            ux = uy = jnp.full_like(u, 0.5)
+        x, _ = sample_piecewise2d(spectrum, u, ux, uy)
+        return x
     raise TypeError(f"cannot sample wavelength from {type(spectrum)}")
 
 
@@ -112,26 +129,42 @@ def _walk_into_grid(pos, direction, grid: CartGrid, shift):
     return pos
 
 
+def _coherent_launch(dx, dy, dz):
+    """Direction + launch phase for the coherent slit/aperture sources.
+
+    The reference stores the full slit->screen distance as the phase
+    (photon.f90:747/:826) in float64.  In float32 that distance (~10
+    scene units) has an ulp of ~2 wavelengths, which decoheres/aliases
+    the fringes, so we store the *transverse excess* t2/(dist+|dz|) --
+    the full distance minus the batch-constant axial distance |dz|,
+    computed cancellation-free.  A per-wavelength-constant phase offset
+    cancels in |E|^2, so fringe patterns are identical.
+    """
+    t2 = dx * dx + dy * dy
+    adz = jnp.abs(dz)
+    dist = jnp.sqrt(t2 + dz * dz)
+    phase = t2 / (dist + adz)
+    direction = jnp.stack([dx / dist, dy / dist, -adz / dist], axis=-1)
+    return direction, phase
+
+
 def _focus_annulus_frame(position, rotation, dtype):
     """Shared frame construction for the focus and annulus sources
     (reference: photon.f90:436-475 / :918-957)."""
     a = jnp.asarray([0.0, 0.0, -1.0], dtype)
     b = _normalise(jnp.asarray(rotation, dtype))
     start = -jnp.asarray(position, dtype)
-    same = bool(np.allclose(np.asarray(a), np.asarray(b)))
-    mirrored = bool(np.allclose(np.abs(np.asarray(a)), np.abs(np.asarray(b)))
-                    and not same)
-    if same:
-        t = jnp.eye(4, dtype=dtype)
-        t_dir = t
-    elif mirrored:
-        t = jnp.diag(jnp.asarray([1.0, 1.0, -1.0, 1.0], dtype))
-        t_dir = t
-        # reference resets t(3,3)=1 for the *position* transform (:469-471)
-        t = t.at[2, 2].set(1.0)
-    else:
-        t = T.rotation_align(a, b)
-        t_dir = t
+    # trace-safe (params may be jit tracers): select between the Rodrigues
+    # alignment and the b = -a mirror case, where rotation_align is
+    # singular (1/(1+c) with c = a.b = -1)
+    c = jnp.dot(a, b)
+    mirrored = c < -1.0 + 1e-6
+    b_safe = jnp.where(mirrored, -b, b)
+    t_rot = T.rotation_align(a, b_safe)
+    t_mirror = jnp.diag(jnp.asarray([1.0, 1.0, -1.0, 1.0], dtype))
+    t_dir = jnp.where(mirrored, t_mirror, t_rot)
+    # reference resets t(3,3)=1 for the *position* transform (:469-471)
+    t = jnp.where(mirrored, t_mirror.at[2, 2].set(1.0), t_rot)
     t_pos = t @ T.invert(T.translate(start))
     return t_pos, t_dir
 
@@ -179,7 +212,7 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
         positions = p["positions"]  # [M, 3]
         idx = jnp.clip(sid, 0, positions.shape[0] - 1)
         pos = positions[idx]
-        wavelength = _spectrum_sample(source.spectrum, u[:, 2])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 2], u)
 
     elif kind == "point":
         # reference: photon.f90:311-359
@@ -190,14 +223,14 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
             [sint * jnp.cos(phi), sint * jnp.sin(phi), cost], axis=-1
         )
         pos = jnp.broadcast_to(p["position"], (B, 3))
-        wavelength = _spectrum_sample(source.spectrum, u[:, 2])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 2], u)
 
     elif kind == "pencil":
         # reference: photon.f90:652-710
         pos = jnp.broadcast_to(p["position"], (B, 3))
         pos = _edge_nudge(pos, grid, shift)
         direction = jnp.broadcast_to(_normalise(p["direction"]), (B, 3))
-        wavelength = _spectrum_sample(source.spectrum, u[:, 0])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 0], u)
 
     elif kind == "uniform":
         # reference: photon.f90:566-649; pos = p1 + rx*p2 + ry*p3
@@ -206,7 +239,7 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
         pos = p["point1"] + rx * p["point2"] + ry * p["point3"]
         pos = _edge_nudge(pos, grid, shift)
         direction = jnp.broadcast_to(_normalise(p["direction"]), (B, 3))
-        wavelength = _spectrum_sample(source.spectrum, u[:, 2])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 2], u)
 
     elif kind == "circular":
         # reference: photon.f90:214-308
@@ -233,7 +266,7 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
         pos = -T.apply_transform(t, local)
         pos = _edge_nudge(pos, grid, shift)
         direction = jnp.broadcast_to(b, (B, 3))
-        wavelength = _spectrum_sample(source.spectrum, u[:, 2])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 2], u)
 
     elif kind == "focus":
         # reference: photon.f90:361-563
@@ -267,7 +300,7 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
         pos = T.apply_transform(t_pos, local)
         pos = _walk_into_grid(pos, direction, grid, 9e-7 if
                               dtype == jnp.float64 else 1e-5)
-        wavelength = _spectrum_sample(source.spectrum, u[:, 2])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 2], u)
 
     elif kind == "annulus":
         # reference: photon.f90:850-1043
@@ -303,11 +336,11 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
         pos = T.apply_transform(t_pos, local)
         pos = _walk_into_grid(pos, direction, grid, 9e-7 if
                               dtype == jnp.float64 else 1e-5)
-        wavelength = _spectrum_sample(source.spectrum, u[:, 2])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 2], u)
 
     elif kind == "dslit":
         # reference: photon.f90:712-780
-        wavelength = _spectrum_sample(source.spectrum, u[:, 0])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 0], u)
         wl = wavelength
         a = 60.0 * wl
         b = 20.0 * wl
@@ -321,19 +354,11 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
         y2 = (2.0 * u[:, 5] - 1.0) * 5.0
         z1 = (10000.0 * wl) - 5.0
         pos = jnp.stack([x2, y2, jnp.full_like(x2, z2)], axis=-1)
-        phase = jnp.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2 + (z2 - z1) ** 2)
-        direction = jnp.stack(
-            [
-                (x2 - x1) / phase,
-                (y2 - y1) / phase,
-                -jnp.abs(z2 - z1) / phase,
-            ],
-            axis=-1,
-        )
+        direction, phase = _coherent_launch(x2 - x1, y2 - y1, z2 - z1)
 
     elif kind == "aperture":
         # reference: photon.f90:782-848
-        wavelength = _spectrum_sample(source.spectrum, u[:, 0])
+        wavelength = _spectrum_sample(source.spectrum, u[:, 0], u)
         wl = wavelength
         apwid = 200e-6
         b = apwid / 2.0
@@ -345,15 +370,7 @@ def sample(source: Source, grid: CartGrid, u: jnp.ndarray, sid=None):
         y2 = u[:, 4] - 0.5
         z2 = 0.5 - (1e-5 * (2.0 * 0.5 / 400.0))
         pos = jnp.stack([x2, y2, jnp.full_like(x2, z2)], axis=-1)
-        phase = jnp.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2 + (z2 - z1) ** 2)
-        direction = jnp.stack(
-            [
-                (x2 - x1) / phase,
-                (y2 - y1) / phase,
-                -jnp.abs(z2 - z1) / phase,
-            ],
-            axis=-1,
-        )
+        direction, phase = _coherent_launch(x2 - x1, y2 - y1, z2 - z1)
 
     elif kind == "slm":
         # reference: photon.f90:159-212 (2D image source; note the
