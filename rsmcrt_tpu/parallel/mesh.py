@@ -206,11 +206,30 @@ def simulate_sharded_chunked(scene, source, grid, key, cfg: TransportConfig,
     carry = jax.device_put(carry, shard)
     keys = jax.device_put(keys, shard)
 
+    # history v2 under sharding: drain per-shard track slots to the host
+    # every chunk (like engine.simulate), so the run-level track count is
+    # unbounded and the device buffer only holds one chunk's worth
+    drained_tracks = [] if cfg.max_tracks > 0 else None
     while True:
         carry = _chunk_sharded(scene, source, grid, keys, carry, dev_cfg,
                                chunk_steps, per_dev, mesh)
         launched = np.asarray(carry.launched)
         steps = np.asarray(carry.step)
+        if drained_tracks is not None:
+            counts = np.asarray(carry.tallies.track_count)
+            if counts.sum() > 0:
+                trs = np.asarray(carry.tallies.tracks)
+                drained_tracks.extend(
+                    trs[d, :int(c)].copy()
+                    for d, c in enumerate(counts) if c > 0
+                )
+                carry = dataclasses.replace(
+                    carry,
+                    tallies=dataclasses.replace(
+                        carry.tallies,
+                        track_count=carry.tallies.track_count * 0,
+                    ),
+                )
         if progress is not None:
             progress(int(launched.sum()), n_target, int(steps.max()),
                      carry)
@@ -229,9 +248,11 @@ def simulate_sharded_chunked(scene, source, grid, key, cfg: TransportConfig,
         # has no MPI story at all; historyStack.f90)
         counts = np.asarray(raw_tallies.track_count)
         trs = np.asarray(raw_tallies.tracks)
-        gathered = np.concatenate(
-            [trs[d, :int(c)] for d, c in enumerate(counts)], axis=0
-        ) if counts.sum() > 0 else trs[0, :0]
+        parts = (drained_tracks or []) + [
+            trs[d, :int(c)] for d, c in enumerate(counts) if c > 0
+        ]
+        gathered = (np.concatenate(parts, axis=0) if parts
+                    else np.asarray(trs[0, :0]))
         tallies = dataclasses.replace(
             tallies,
             tracks=jnp.asarray(gathered),

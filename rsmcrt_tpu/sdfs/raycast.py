@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..maths.transforms import apply_rotation, apply_transform
 
@@ -207,12 +208,16 @@ def ray_cone(p, d, a, b, ra, rb):
     return _first_pos(side_ok(t1), side_ok(t2), cap(0.0, ra), cap(1.0, rb))
 
 
-def _newton_polish(sd_fn, p, d, t, iters=2):
+def _newton_polish(sd_fn, p, d, t, iters=2, scale=1.0):
     """Refine root candidates ``t`` of ``sd_fn(p + t d) = 0`` with Newton
     steps (jvp gives the directional derivative).  Invalid (inf) lanes pass
     through untouched; steps are clamped to stay near the seed so a polish
-    can never jump to a different surface sheet."""
+    can never jump to a different surface sheet.  ``scale`` is the prim's
+    characteristic size: the clamp (and the caller's on-surface tol) grow
+    with it so large prims don't discard real crossings whose f32 quartic
+    roots carry proportionally larger error."""
     tf = jnp.where(jnp.isfinite(t), t, 0.0)
+    clamp = 0.05 * scale
     for _ in range(iters):
         f, fp = jax.jvp(
             lambda s: sd_fn(p + s[..., None] * d), (tf,),
@@ -220,22 +225,24 @@ def _newton_polish(sd_fn, p, d, t, iters=2):
         )
         step = f / jnp.where(jnp.abs(fp) < 1e-8, jnp.sign(fp) * 1e-8 + 1e-12,
                              fp)
-        tf = tf - jnp.clip(step, -0.05, 0.05)
+        tf = tf - jnp.clip(step, -clamp, clamp)
     return jnp.where(jnp.isfinite(t), tf, t)
 
 
 def _validated_first(sd_fn, p, d, cands, tol=2e-3, t_min=1e-5,
-                     iters=2):
+                     iters=2, scale=1.0):
     """Newton-polish each candidate and keep the first strictly positive
     one that truly lies on the surface (|sd| < tol).  Quartic roots in f32
     carry O(1e-2) error; the polish converges quadratically on the real
     SDF, and validation discards spurious / wrong-branch roots.  A false
     positive only costs a wasted same-layer nudge in the engine (the probe
     re-evaluates the true field); missed crossings are what the loose tol
-    guards against."""
+    guards against.  ``tol`` scales with the prim size (see
+    _newton_polish)."""
     best = jnp.full(p.shape[:-1], _INF, p.dtype)
+    tol = tol * scale
     for t in cands:
-        t = _newton_polish(sd_fn, p, d, t, iters=iters)
+        t = _newton_polish(sd_fn, p, d, t, iters=iters, scale=scale)
         sd_at = sd_fn(p + t[..., None] * d)
         ok = jnp.logical_and(
             jnp.logical_and(jnp.isfinite(t), t > t_min),
@@ -341,12 +348,13 @@ def ray_torus(p, d, oradius, iradius):
     from .primitives import sd_torus
 
     sd_fn = lambda q: sd_torus(q, oradius, iradius)
+    scale = oradius + iradius  # characteristic size for tol/clamp/margin
     # bounding-sphere reject keeps the quartic well-conditioned
     t0 = -jnp.sum(p * d, axis=-1)
     o = p + t0[..., None] * d
-    near = jnp.sum(o * o, axis=-1) <= (oradius + iradius + 0.5) ** 2
+    near = jnp.sum(o * o, axis=-1) <= (1.5 * scale) ** 2
     cands = _torus_quartic_cands(p, d, oradius * oradius, iradius)
-    t = _validated_first(sd_fn, p, d, cands)
+    t = _validated_first(sd_fn, p, d, cands, scale=scale)
     return jnp.where(near, t, _INF)
 
 
@@ -428,8 +436,9 @@ def ray_egg_revolution(p, d, center, o, r1, r2, h):
     # side sheet: torus(R=o-el, rad=r1+el)
     Rs = o - el
     cands_q = _torus_quartic_cands(pc, d, Rs * Rs, r1 + el)
-    t_sph = _validated_first(sd_fn, p, d, cands_sph, iters=1)
-    t_q = _validated_first(sd_fn, p, d, cands_q, iters=2)
+    scale = r1 + jnp.abs(o)  # characteristic size for tol/clamp
+    t_sph = _validated_first(sd_fn, p, d, cands_sph, iters=1, scale=scale)
+    t_q = _validated_first(sd_fn, p, d, cands_q, iters=2, scale=scale)
     return jnp.minimum(t_sph, t_q)
 
 
@@ -466,12 +475,6 @@ def _ray_prim(spec, params, pos, dirn):
         return ray_torus(p, d, params["oradius"], params["iradius"])
     if kind == "triprism":
         return ray_triprism(p, d, params["h1"], params["h2"])
-    if kind == "revolution":
-        # analytic only for an egg child (checked by _is_analytic_spec);
-        # the child's own transform is identity in every scene builder
-        ch = params["child0"]
-        return ray_egg_revolution(pos, dirn, params["center"], params["o"],
-                                  ch["r1"], ch["r2"], ch["h"])
     raise ValueError(f"no analytic raycast for {kind!r}")
 
 
@@ -481,7 +484,15 @@ def _is_analytic_spec(spec) -> bool:
         return True
     if (spec.kind == "revolution" and len(spec.children) == 1
             and spec.children[0].kind == "egg"):
-        return True
+        # ray_egg_revolution assumes the child egg sits at the origin:
+        # only claim analytic when its transform is identity (true for
+        # every built-in scene, setupGeometry.f90:149-247); a user egg
+        # with a transform falls back to the marched probe instead of
+        # silently raycasting the untransformed egg
+        ct = spec.children[0].params.get("transform")
+        if ct is None or np.allclose(np.asarray(ct), np.eye(4), atol=1e-7):
+            return True
+        return False
     return False
 
 

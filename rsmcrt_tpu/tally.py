@@ -58,8 +58,9 @@ class Tallies:
     # history-loss accounting [ring-truncated events, overflowed tracks]:
     # the reference's stack grows without bound (historyStack.f90:60-130);
     # the wavefront ring is finite, so losses are COUNTED instead of
-    # silent (VERDICT r3 weak #4).  The chunked driver drains tracks to
-    # the host every chunk, so overflow only occurs within one chunk.
+    # silent (VERDICT r3 weak #4).  Both chunked drivers (engine.simulate
+    # and mesh.simulate_sharded_chunked) drain tracks to the host every
+    # chunk, so overflow only occurs within one chunk (per shard).
     track_dropped: jnp.ndarray = None
 
 
