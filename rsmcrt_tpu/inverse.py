@@ -205,19 +205,33 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
                              n_lanes=None, lr=0.1, res_dir=None,
                              verbose=True, seed=None, shape_params=None,
                              h_n=2e-2, h_shape=2e-2, find=None,
-                             lr_decay=10.0):
+                             lr_decay=10.0, n_method="score",
+                             shape_method=None):
     """Gradient recovery of (mus, mua, g, n) plus optional SDF shape
     parameters -- the working, differentiable replacement for the
     reference's broken AdaLIPO loop.
 
-    (mus, mua, g) use the closed-form perturbation-MC scores accumulated
-    during the forward run (one run per step).  n and shape parameters
-    (``shape_params=["radius", ...]``) use common-random-number central
-    differences (two extra runs per parameter per step): their effect on
-    a path is a deterministic deflection/boundary shift, which a
-    likelihood-ratio estimator cannot represent, while CRN differences
-    converge to the true derivative with variance ~ O(h) rather than the
-    O(1/h^2) of independent-seed differences."""
+    Every parameter class uses the perturbation-MC scores accumulated
+    during the SINGLE forward run per step by default:
+
+    - (mus, mua, g): closed-form likelihood-ratio scores;
+    - n: Fresnel-choice score INCLUDING the angular reparameterization
+      term carried by the propagated direction tangent
+      (``LaneState.pmc_dd``) -- validated against the closed-form slab
+      dT/dn to ~1e-3 at both 2 and 40 degrees incidence
+      (tests/test_gradient_scores.py; reference estimand
+      surfaces.f90:57-121);
+    - shape ``radius``: boundary extinction score (kappa jump per
+      surface crossing / reflection), exact when mus and n are
+      continuous across the moved boundary.
+
+    ``n_method="fd"`` / ``shape_method="fd"`` select the common-random-
+    number central-difference fallback (two extra runs per parameter per
+    step) for out-of-score-domain cases: n sitting exactly at a matched
+    index (no Fresnel events -> zero score at a quadratic minimum),
+    shape parameters other than a radius-like outward motion, or
+    boundaries with mus/n contrast.  ``shape_method=None`` auto-selects:
+    score for ``radius``, fd otherwise."""
     parsed, scene = setup(input_file, kernel="inverse", res_dir=res_dir)
     st = parsed.settings
     inv = st.inverse
@@ -277,9 +291,10 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
         tot, stats, launched = _forward(parsed, sc, cfg,
                                         base_seed + it,
                                         inverse_prim=prim_index + 1)
-        # stats rows: [Sum w, Sum w*cnt, Sum w*len, Sum w*hg] per detector
-        sw, swc, swl, swh = (stats[:, j].astype(np.float64)
-                             for j in range(4))
+        # stats rows: [Sum w, Sum w*cnt, Sum w*len, Sum w*hg,
+        #              Sum w*n_score, Sum w*R_score] per detector
+        sw, swc, swl, swh, swn, swr = (stats[:, j].astype(np.float64)
+                                       for j in range(6))
         err = inverse_evaluate(tot, launched, targets)
         mask = targets != -1.0
         sgn = np.sign(tot / launched - targets) * mask
@@ -295,19 +310,27 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
             for k in find
         }
         if find_n:
-            th_lo = {**theta, "n": theta["n"] - h_n}
-            th_hi = {**theta, "n": theta["n"] + h_n}
-            dTn = _crn_fd_totals(parsed, build_scene_at(th_lo),
-                                 build_scene_at(th_hi), cfg,
-                                 base_seed + it, h_n)
-            grads["n"] = -float((sgn * dTn).sum() / mcount)
+            if n_method == "score":
+                grads["n"] = -float((sgn * swn).sum() / launched / mcount)
+            else:
+                th_lo = {**theta, "n": theta["n"] - h_n}
+                th_hi = {**theta, "n": theta["n"] + h_n}
+                dTn = _crn_fd_totals(parsed, build_scene_at(th_lo),
+                                     build_scene_at(th_hi), cfg,
+                                     base_seed + it, h_n)
+                grads["n"] = -float((sgn * dTn).sum() / mcount)
         for sp in shape_params:
-            th_lo = {**theta, sp: theta[sp] - h_shape}
-            th_hi = {**theta, sp: theta[sp] + h_shape}
-            dTs = _crn_fd_totals(parsed, build_scene_at(th_lo),
-                                 build_scene_at(th_hi), cfg,
-                                 base_seed + it, h_shape)
-            grads[sp] = -float((sgn * dTs).sum() / mcount)
+            sm = shape_method or ("score" if sp == "radius" else "fd")
+            if sm == "score":
+                grads[sp] = -float(
+                    (sgn * swr).sum() / launched / mcount)
+            else:
+                th_lo = {**theta, sp: theta[sp] - h_shape}
+                th_hi = {**theta, sp: theta[sp] + h_shape}
+                dTs = _crn_fd_totals(parsed, build_scene_at(th_lo),
+                                     build_scene_at(th_hi), cfg,
+                                     base_seed + it, h_shape)
+                grads[sp] = -float((sgn * dTs).sum() / mcount)
         history.append({**theta, "error": err,
                         "grads": dict(grads)})
         if verbose:
@@ -335,11 +358,15 @@ def inverse_gradient_descent(input_file, nsteps=50, nphotons=None,
 
 def detector_gradients(input_file, nphotons=None, n_lanes=None,
                        res_dir=None, seed=None, h_n=2e-2, h_shape=2e-2,
-                       shape_param=None, want_n=False, chain=False):
+                       shape_param=None, want_n=False, chain=False,
+                       n_method="score", shape_method=None):
     """Per-detector totals and their gradients at the current scene
-    parameters: pMC scores for (mus, mua, g), CRN central differences for
-    n (``want_n``) and one shape parameter (``shape_param``).  Used for
-    finite-difference validation (BASELINE.md gradients row)."""
+    parameters.  All five classes (mus, mua, g, n, radius-like shape)
+    come from the pMC scores of the single forward run by default; pass
+    ``n_method="fd"`` / ``shape_method="fd"`` for the CRN central-
+    difference fallback (out-of-score-domain cases, see
+    inverse_gradient_descent).  Used for finite-difference validation
+    (BASELINE.md gradients row)."""
     parsed, scene = setup(input_file, kernel="inverse", res_dir=res_dir)
     st = parsed.settings
     inv = st.inverse
@@ -358,7 +385,8 @@ def detector_gradients(input_file, nphotons=None, n_lanes=None,
     )
     i = prim_index + 1
     mus = float(scene.tables.mus[i])
-    sw, swc, swl, swh = (stats[:, j].astype(np.float64) for j in range(4))
+    sw, swc, swl, swh, swn, swr = (stats[:, j].astype(np.float64)
+                                   for j in range(6))
     out = dict(
         totals=tot,
         launched=launched,
@@ -371,26 +399,34 @@ def detector_gradients(input_file, nphotons=None, n_lanes=None,
         cfg=cfg,
     )
     if want_n:
-        n0 = float(scene.tables.n[i])
-        mua0 = float(scene.tables.mua[i])
-        g0 = float(scene.tables.hgg[i])
-        sc_lo = _set_prim_optics(scene, prim_index, mus, mua0, g0,
-                                 n0 - h_n)
-        sc_hi = _set_prim_optics(scene, prim_index, mus, mua0, g0,
-                                 n0 + h_n)
-        out["dT_dn"] = _crn_fd_totals(parsed, sc_lo, sc_hi, cfg,
-                                      base_seed, h_n) * launched
+        if n_method == "score":
+            out["dT_dn"] = swn
+        else:
+            n0 = float(scene.tables.n[i])
+            mua0 = float(scene.tables.mua[i])
+            g0 = float(scene.tables.hgg[i])
+            sc_lo = _set_prim_optics(scene, prim_index, mus, mua0, g0,
+                                     n0 - h_n)
+            sc_hi = _set_prim_optics(scene, prim_index, mus, mua0, g0,
+                                     n0 + h_n)
+            out["dT_dn"] = _crn_fd_totals(parsed, sc_lo, sc_hi, cfg,
+                                          base_seed, h_n) * launched
     if shape_param is not None:
-        g_slot, m_slot = _prim_group_slot(scene, prim_index)
-        s0 = float(np.asarray(scene.group_params[g_slot][shape_param])
-                   [m_slot])
-        sc_lo = _set_prim_shape(scene, prim_index, shape_param,
-                                s0 - h_shape)
-        sc_hi = _set_prim_shape(scene, prim_index, shape_param,
-                                s0 + h_shape)
-        out[f"dT_d{shape_param}"] = _crn_fd_totals(
-            parsed, sc_lo, sc_hi, cfg, base_seed, h_shape
-        ) * launched
+        sm = shape_method or ("score" if shape_param == "radius"
+                              else "fd")
+        if sm == "score":
+            out[f"dT_d{shape_param}"] = swr
+        else:
+            g_slot, m_slot = _prim_group_slot(scene, prim_index)
+            s0 = float(np.asarray(scene.group_params[g_slot][shape_param])
+                       [m_slot])
+            sc_lo = _set_prim_shape(scene, prim_index, shape_param,
+                                    s0 - h_shape)
+            sc_hi = _set_prim_shape(scene, prim_index, shape_param,
+                                    s0 + h_shape)
+            out[f"dT_d{shape_param}"] = _crn_fd_totals(
+                parsed, sc_lo, sc_hi, cfg, base_seed, h_shape
+            ) * launched
     return out
 
 

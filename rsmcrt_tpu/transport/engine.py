@@ -204,6 +204,15 @@ class LaneState:
     pmc_hg: jnp.ndarray  # [B] sum of d log p_HG / dg in the inverse prim
     pmc_fn: jnp.ndarray  # [B] sum of d log P(fresnel choice) / d n_inv
     pmc_bn: jnp.ndarray  # [B] boundary extinction score d log p / d R
+    # [B, 3] d(direction)/d n_inv: the angular reparameterization tangent.
+    # Refraction at an inverse-prim interface bends the path (Snell),
+    # so later Fresnel-choice probabilities depend on n through the
+    # incidence angle too; the tangent propagates through every
+    # refract/reflect/scatter frame rotation and feeds the choice score
+    # jvp (reference estimand surfaces.f90:57-121).  Without it the
+    # n-score is the partial at fixed directions (-7.8% at 40 deg on the
+    # slab, round-4 limitation).
+    pmc_dd: jnp.ndarray
 
 
 @jax.tree_util.register_dataclass
@@ -246,6 +255,7 @@ def _init_lanes(B: int, dtype, history_len: int = 0) -> LaneState:
         pmc_hg=z(),
         pmc_fn=z(),
         pmc_bn=z(),
+        pmc_dd=jnp.zeros((B, 3), dtype),
     )
 
 
@@ -540,7 +550,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
     # pMC sufficient statistics (inverse kernel): per-lane accumulators +
     # per-detector [Sum w, Sum w*cnt, Sum w*len, Sum w*hg] rows
     if cfg.inverse_prim > 0:
-        pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_fn_l, pmc_bn_l = pmc
+        (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_fn_l, pmc_bn_l,
+         pmc_dd_l) = pmc
         pmc_stats_add = jnp.zeros((len(bank.order), 6), dtype)
         # layer id of each prim in concat order: maps the crossed-surface
         # index hidx to "is this the inverse prim's surface"
@@ -552,6 +563,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
              for c in range(scene.n_prims)], jnp.int32)
     else:
         pmc_cnt_l = pmc_len_l = pmc_hg_l = pmc_fn_l = pmc_bn_l = None
+        pmc_dd_l = None
         pmc_stats_add = None
     # escape-function mode: per-lane per-detector hit weights accumulate
     # densely across rounds (sid is constant per lane within a megastep:
@@ -699,10 +711,12 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             i1 = (layer_l == inv).astype(dtype)
             i2 = (new_layer == inv).astype(dtype)
 
-            def _fres(a, b):
-                return fresnel_coeff(dirc, nvec, a, b)
+            def _fres(dv, a, b):
+                return fresnel_coeff(dv, nvec, a, b)
 
-            _, dri = jax.jvp(_fres, (n1, n2), (i1, i2))
+            # total derivative incl. the angular reparameterization term
+            # through the propagated direction tangent
+            _, dri = jax.jvp(_fres, (dirc, n1, n2), (pmc_dd_l, i1, i2))
             s_ch = jnp.where(
                 refl, dri / jnp.maximum(ri, 1e-9),
                 -dri / jnp.maximum(1.0 - ri, 1e-9),
@@ -757,6 +771,27 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             jnp.where(refl[:, None], dir_refl,
                       jnp.where(do_refr[:, None], dir_refr, dirc)),
         )
+        if cfg.inverse_prim > 0:
+            # propagate the direction tangent through this round's event
+            _, dd_sc = jax.jvp(
+                lambda dv: scatter_direction(dv, cost, phi),
+                (dirc,), (pmc_dd_l,))
+            _, dd_refl = jax.jvp(lambda dv: reflect(dv, nvec),
+                                 (dirc,), (pmc_dd_l,))
+            n2_safe = jnp.where(n2 > 0.0, n2, 1.0)
+            eta_dot = (i1 * n2_safe - n1 * i2) / (n2_safe * n2_safe)
+            _, dd_refr = jax.jvp(lambda dv, e: refract(dv, nvec, e),
+                                 (dirc, eta), (pmc_dd_l, eta_dot))
+            dd_sc = jnp.where(jnp.isfinite(dd_sc), dd_sc, 0.0)
+            dd_refr = jnp.where(jnp.isfinite(dd_refr), dd_refr, 0.0)
+            dd_new = jnp.where(
+                do_sc[:, None], dd_sc,
+                jnp.where(refl[:, None], dd_refl,
+                          jnp.where(do_refr[:, None], dd_refr,
+                                    pmc_dd_l)),
+            )
+        else:
+            dd_new = None
         np_pos = jnp.where(trans[:, None], probe, p_end)
         nlayer = jnp.where(
             jnp.logical_and(crossing, jnp.logical_not(refl)),
@@ -803,6 +838,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
                 pmc_hg_l = jnp.where(resp, 0.0, pmc_hg_l)
                 pmc_fn_l = jnp.where(resp, 0.0, pmc_fn_l)
                 pmc_bn_l = jnp.where(resp, 0.0, pmc_bn_l)
+                dd_new = jnp.where(rm, 0.0, dd_new)
 
         newtau = -jnp.log(u_r[:, 3])
         # the crossing nudge is charged at the NEW medium's kappa, like
@@ -894,6 +930,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             pmc_len_l = pmc_len_l + jnp.where(
                 jnp.logical_and(ev, nlayer == cfg.inverse_prim),
                 rem2, 0.0)
+        if cfg.inverse_prim > 0:
+            pmc_dd_l = jnp.where(evm, dd_new, pmc_dd_l)
         dirc = jnp.where(evm, np_dir, dirc)
         p0 = jnp.where(evm, np_pos, p0)
         if cfg.record_fluence:
@@ -991,7 +1029,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             wavelength_l, phase_l, n_resp, flat_k, deps_k, absorb_w,
             absorb_flat, n_scat, n_inter, mom_pos, mom_pos2, bank_out,
             hit_acc, (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_fn_l,
-                      pmc_bn_l, pmc_stats_add),
+                      pmc_bn_l, pmc_dd_l, pmc_stats_add),
             cand_used)
 
 
@@ -1078,6 +1116,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     pmc_hg = jnp.where(respawn, 0.0, st.pmc_hg)
     pmc_fn = jnp.where(respawn, 0.0, st.pmc_fn)
     pmc_bn = jnp.where(respawn, 0.0, st.pmc_bn)
+    pmc_dd = jnp.where(respawn[:, None], 0.0, st.pmc_dd)
 
     history = st.history
     hist_n = st.hist_n
@@ -1234,10 +1273,13 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         i1s = (layer == inv).astype(dtype)
         i2s = (new_layer == inv).astype(dtype)
 
-        def _fres_a(a, b):
-            return fresnel_coeff(direction, nvec, a, b)
+        def _fres_a(dv, a, b):
+            return fresnel_coeff(dv, nvec, a, b)
 
-        _, dri_a = jax.jvp(_fres_a, (n1, n2), (i1s, i2s))
+        # total derivative: direct n-dependence of the coefficient PLUS
+        # the angular term through the propagated direction tangent
+        _, dri_a = jax.jvp(_fres_a, (direction, n1, n2),
+                           (pmc_dd, i1s, i2s))
         s_ch = jnp.where(
             reflecting, dri_a / jnp.maximum(ri, 1e-9),
             -dri_a / jnp.maximum(1.0 - ri, 1e-9),
@@ -1374,6 +1416,26 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
     kappa_seg = _opt_lookup(tables, tables.kappa, layer, wavelength)
     tau = jnp.where(need_seg,
                     jnp.maximum(tau - seg_new * kappa_seg, 0.0), tau)
+
+    if cfg.inverse_prim > 0:
+        # propagate the direction tangent through the boundary event
+        # (reflection rotates it with the frame; refraction additionally
+        # picks up d eta/dn = d(n1/n2)/dn)
+        refl_ev = reflecting[:, None]
+        refr_ev = jnp.logical_and(transmitting, need_fresnel)[:, None]
+        _, dd_refl_a = jax.jvp(lambda dv: reflect(dv, nvec),
+                               (direction,), (pmc_dd,))
+        n2_safe = jnp.where(n2 > 0.0, n2, 1.0)
+        # i1s/i2s from the score block above: PRE-crossing indicators
+        # (the `layer` variable was already advanced for transmitting
+        # lanes at the segment-selection step)
+        eta_a = n1 / n2_safe
+        eta_dot_a = (i1s * n2_safe - n1 * i2s) / (n2_safe * n2_safe)
+        _, dd_refr_a = jax.jvp(lambda dv, e: refract(dv, nvec, e),
+                               (direction, eta_a), (pmc_dd, eta_dot_a))
+        dd_refr_a = jnp.where(jnp.isfinite(dd_refr_a), dd_refr_a, 0.0)
+        pmc_dd = jnp.where(refl_ev, dd_refl_a,
+                           jnp.where(refr_ev, dd_refr_a, pmc_dd))
 
     direction = jnp.where(
         reflecting[:, None], dir_reflected,
@@ -1536,7 +1598,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
             seg_rem, seg_interact, seg_srf, seg_cont, seg_prim, layer,
             alive, steps, bounces, wavelength, phase, tables, land_eps,
             seg_cap, mom_pos, mom_pos2, bank=bank,
-            pmc=(pmc_cnt, pmc_len, pmc_hg, pmc_fn, pmc_bn),
+            pmc=(pmc_cnt, pmc_len, pmc_hg, pmc_fn, pmc_bn, pmc_dd),
             respawn=respawn_cand)
         launched = launched + n_resp_c
         if cfg.record_emission and respawn_cand is not None:
@@ -1557,7 +1619,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                 flat_sid.reshape(-1)
             ].add(hit_acc_c.reshape(-1)).reshape(escape_tot.shape)
         if cfg.inverse_prim > 0:
-            (pmc_cnt, pmc_len, pmc_hg, pmc_fn, pmc_bn,
+            (pmc_cnt, pmc_len, pmc_hg, pmc_fn, pmc_bn, pmc_dd,
              pmc_add) = pmc_out
             pmc_stats = pmc_stats + pmc_add
         if cfg.record_fluence:
@@ -1715,6 +1777,14 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         do_scatter = jnp.logical_and(interact,
                                      jnp.logical_not(died_interact))
 
+    if cfg.inverse_prim > 0:
+        # HG scatter is a deterministic frame rotation given the fixed
+        # uniforms, so the direction tangent rotates with it (the choice
+        # probability itself is angle-invariant: no extra score term)
+        _, dd_sc_a = jax.jvp(lambda dv: scatter_direction(dv, cost, phi),
+                             (direction,), (pmc_dd,))
+        dd_sc_a = jnp.where(jnp.isfinite(dd_sc_a), dd_sc_a, 0.0)
+        pmc_dd = jnp.where(do_scatter[:, None], dd_sc_a, pmc_dd)
     direction = jnp.where(do_scatter[:, None], dir_scattered,
                           direction)
     tau = jnp.where(do_scatter, -jnp.log(u[:, _U_TAU]), tau)
@@ -1786,7 +1856,7 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         bounces=bounces, steps=steps, phase=phase, wavelength=wavelength,
         sid=sid, history=history, hist_n=hist_n,
         pmc_cnt=pmc_cnt, pmc_len=pmc_len, pmc_hg=pmc_hg,
-        pmc_fn=pmc_fn, pmc_bn=pmc_bn,
+        pmc_fn=pmc_fn, pmc_bn=pmc_bn, pmc_dd=pmc_dd,
     )
     new_tallies = Tallies(
         jmean=jmean, absorb=absorb, emission=emission, nscatt=nscatt,

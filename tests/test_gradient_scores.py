@@ -49,16 +49,22 @@ def _bank(z, radius=2.8):
     )
 
 
-@pytest.mark.parametrize("chain", [False, True])
-def test_fresnel_choice_score_matches_analytic_slab(chain):
-    """Vacuum slab (mus = mua = 0, n = 1.5) at near-normal incidence
-    (2 deg -- exactly-normal rays transmit unconditionally by reference
-    parity, surfaces.f90:111): the transmission is T = (1-R)/(1+R)
-    (geometric series over internal reflections) and its n-dependence
-    through the interior Snell angle is O(theta^2) ~ 1e-3, so the
-    Fresnel-choice score reproduces dT/dn at the 1e-3 bar."""
+@pytest.mark.parametrize("chain,theta_deg", [(False, 2.0), (True, 2.0),
+                                             (False, 40.0), (True, 40.0)])
+def test_fresnel_choice_score_matches_analytic_slab(chain, theta_deg):
+    """Vacuum slab (mus = mua = 0, n = 1.5): the transmission is
+    T = (1-R)/(1+R) (geometric series over internal reflections) and
+    jax.grad of that closed form is the exact TOTAL dT/dn.
+
+    At 2 deg the fixed-direction partial score already matches (the
+    angular term is O(theta^2) ~ 1e-3).  At 40 deg the interior Snell
+    angle's n-dependence contributes -7.8% (round-4 limitation): the
+    propagated direction tangent (LaneState.pmc_dd, round 5) carries
+    that angular reparameterization term, so the score matches the
+    closed form at oblique incidence too (reference estimand:
+    surfaces.f90:57-121)."""
     n_slab = 1.5
-    theta = np.deg2rad(2.0)
+    theta = np.deg2rad(theta_deg)
     d = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
 
     def T_of_n(nv):

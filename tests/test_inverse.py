@@ -98,11 +98,16 @@ def test_n_gradient_sign_and_consistency():
     reflection, reducing the transmission detector total (negative
     gradient); two step sizes with different seeds must agree in sign."""
     # CRN noise scales ~1/(h sqrt(N)): at the TPU-measured gradient
-    # (~ -3.4e-3/photon) the sign needs N h^2 large enough for >3 sigma
+    # (~ -3.4e-3/photon) the sign needs N h^2 large enough for >3 sigma.
+    # n_method="fd" explicitly: this config sits AT the matched index
+    # n=1.0, where the true derivative is a quadratic minimum (score = 0
+    # exactly, no Fresnel events) and the secant measures the curvature
+    # response -- the documented out-of-score-domain case
     r1 = detector_gradients(CONFIG, nphotons=100000, n_lanes=8192, seed=3,
-                            want_n=True, h_n=0.1)
+                            want_n=True, h_n=0.1, n_method="fd")
     r2 = detector_gradients(CONFIG, nphotons=100000, n_lanes=8192,
-                            seed=17, want_n=True, h_n=0.12)
+                            seed=17, want_n=True, h_n=0.12,
+                            n_method="fd")
     # at n=1.0 raising n creates a mismatch at the sphere surface
     d1 = float(r1["dT_dn"][0])
     d2 = float(r2["dT_dn"][0])
@@ -148,6 +153,33 @@ def test_radius_recovery_converges():
         verbose=False)
     assert abs(theta["radius"] - 0.8) < 0.06, theta
     assert max(h["error"] for h in hist) > hist[0]["error"] + 0.002
+
+
+@pytest.mark.slow
+def test_recovery_uses_scores_with_zero_fd_forwards(monkeypatch):
+    """In the score-valid domain (n away from matched index, radius-like
+    shape), the optimizer must take gradients for ALL five parameter
+    classes from the single forward run per step -- no CRN-FD forwards
+    (VERDICT r4 next #3)."""
+    import rsmcrt_tpu.inverse as inv
+    from rsmcrt_tpu.inverse import inverse_gradient_descent
+
+    def boom(*a, **k):
+        raise AssertionError("CRN-FD forward run in score mode")
+
+    monkeypatch.setattr(inv, "_crn_fd_totals", boom)
+    # joint (mus, mua, g, n) descent: n starts at 1.1 vs truth 1.3 --
+    # Fresnel events exist, the (angular-complete) n-score is live
+    theta, hist = inverse_gradient_descent(
+        "res/inverse_test4.toml", nsteps=3, nphotons=8000, n_lanes=4096,
+        lr=0.15, seed=11, verbose=False)
+    assert any(h["grads"].get("n") for h in hist)
+    # radius descent on the boundary-extinction score
+    theta, hist = inverse_gradient_descent(
+        "res/inverse_radius.toml", nsteps=3, nphotons=8000, n_lanes=4096,
+        lr=0.08, seed=11, find=[], shape_params=["radius"],
+        verbose=False)
+    assert any(h["grads"].get("radius") for h in hist)
 
 
 def test_set_prim_shape_roundtrip():
