@@ -198,6 +198,49 @@ def test_sharded_scaling_efficiency():
 
 
 @pytest.mark.slow
+def test_weak_scaling_structure():
+    """Weak-scaling gate (VERDICT r4 next #6): fixed PER-DEVICE lanes,
+    mesh size swept -- on a 2-core host the per-device compute
+    serialises, so the ideal T(8)/T(2) is 4x and any super-linear excess
+    is sharded-driver overhead.  Gate at 7x (1.75x tolerance for CPU
+    noise); the un-confounded protocol + fitted overhead table lives in
+    tools/profile_mesh_scaling.py / STATUS.md."""
+    import time
+
+    from jax.sharding import Mesh
+
+    from rsmcrt_tpu.parallel.mesh import simulate_sharded_chunked
+
+    scene = _scene()
+    grid = cart_grid(32, 32, 32, 1.0, 1.0, 1.0)
+    src = build_source("point", position=[0.0, 0.0, 0.0])
+    n_steps = 32
+
+    def run(n_dev):
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+        cfg = TransportConfig(nphotons=1 << 30, n_lanes=512,
+                              max_steps=n_steps)
+
+        def once():
+            t, _, _, s = simulate_sharded_chunked(
+                scene, src, grid, jax.random.key(3), cfg, mesh=mesh,
+                chunk_steps=n_steps)
+            jax.block_until_ready(t.jmean)
+            assert int(s) == n_steps
+        once()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            once()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t2 = run(2)
+    t8 = run(8)
+    assert t8 / t2 < 7.0, (t2, t8)
+
+
+@pytest.mark.slow
 def test_chunked_sharded_simulation():
     """Chunked multi-device driver: same physics, host-loop chunks, final
     cross-device reduction."""
