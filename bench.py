@@ -119,6 +119,42 @@ def bench_bank():
     )
 
 
+def run_fluenceless(nphotons=None):
+    """Detector-workload (fluenceless) rate: the path-length estimator
+    OFF regime of escape functions / detector / inverse / validation
+    runs (reference without -Dpathlength, inttau2.f90:446-462).  No
+    voxel deposits -> the scatter wall does not exist; each chained
+    round consumes a whole segment event.  Sphere scene + the bench
+    circle detector; K=64 measured fastest (tools/profile_fluenceless.py:
+    1.6M @ K=32, 4.0M @ K=64, 2.1M @ K=128 on v5e)."""
+    from rsmcrt_tpu.transport.engine import (
+        TransportConfig, simulate, warmup,
+    )
+
+    scene, grid, src = bench_case()
+    bank = bench_bank()
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    lanes = 32768 if on_tpu else 2048
+    # 32M budget: at ~5M ph/s the fixed dispatch + straggler tail only
+    # amortise past ~10 s of main phase (2.3M/s at a 2M budget vs 5.4M/s
+    # at 32M, measured on v5e)
+    n = int(nphotons or (32_000_000 if on_tpu else 8_000))
+    chunk = 48
+    cfg = TransportConfig(nphotons=n, n_lanes=lanes,
+                          record_fluence=False, record_emission=False,
+                          chain_scatter=True, dda_substeps=64)
+    warmup(scene, src, grid, jax.random.key(0), cfg, bank=bank,
+           chunk_steps=chunk, min_lanes=64)
+    t0 = time.perf_counter()
+    tallies, bank_out, launched, steps = simulate(
+        scene, src, grid, jax.random.key(1), cfg, bank=bank,
+        nphotons=n, min_lanes=64, chunk_steps=chunk,
+    )
+    float(jnp.sum(tallies.nscatt))  # force a host read (axon gotcha)
+    dt = time.perf_counter() - t0
+    return int(launched) / dt
+
+
 def main(with_detector: bool = False):
     from rsmcrt_tpu.transport.engine import (
         TransportConfig, simulate, warmup,
@@ -131,9 +167,11 @@ def main(with_detector: bool = False):
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes = 32768 if on_tpu else 2048
-    # 4M budget: the straggler tail (one serial photon chain, fixed cost)
-    # amortises over the photon count
-    nphotons = 4_000_000 if on_tpu else 4_000
+    # 16M budget (round 5; was 4M): the ramp chunk + straggler tail are
+    # fixed costs -- 215.5k at 4M vs 228.0k at 16M measured on v5e, and
+    # the steady state IS the deposit-scatter wall (~12 ns/row x 307
+    # rows/photon; decomposition in STATUS.md)
+    nphotons = 16_000_000 if on_tpu else 4_000
     chunk = 48
     min_lanes = 64
     # the bench runs the PRODUCT transport configuration (same chaining /
@@ -166,7 +204,23 @@ def main(with_detector: bool = False):
         from rsmcrt_tpu.detectors.detectors import totals
 
         out["detector_total"] = round(float(totals(bank_out)[0]), 1)
+    else:
+        # record the fluenceless (detector-workload) headline alongside
+        # the fluence-map headline (VERDICT r4 next #1): half the
+        # reference's real workloads run with the path-length estimator
+        # off, where the deposit wall does not exist
+        out["fluenceless_photons_per_second"] = round(run_fluenceless(), 1)
     print(json.dumps(out))
+
+
+def main_fluenceless():
+    value = run_fluenceless()
+    print(json.dumps({
+        "metric": "photons_per_second_sphere_fluenceless_detector_1chip",
+        "value": round(value, 1),
+        "unit": "photons/s",
+        "vs_baseline": round(value / PER_CHIP_TARGET, 6),
+    }))
 
 
 if __name__ == "__main__":
@@ -175,8 +229,13 @@ if __name__ == "__main__":
                     help="photon-shard over all visible devices")
     ap.add_argument("--detector", action="store_true",
                     help="bench with a circle detector in the scene")
+    ap.add_argument("--fluenceless", action="store_true",
+                    help="detector-workload bench, path-length estimator "
+                         "off (no fluence deposits)")
     args = ap.parse_args()
     if args.sharded:
         main_sharded()
+    elif args.fluenceless:
+        main_fluenceless()
     else:
         main(with_detector=args.detector)

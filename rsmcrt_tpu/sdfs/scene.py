@@ -516,7 +516,14 @@ def eval_scene(scene: Scene, pos: jnp.ndarray) -> jnp.ndarray:
             )(params)
         cols.append(d)
     ds = jnp.concatenate(cols, axis=-1)
-    return ds[..., jnp.asarray(scene.perm)]
+    # static permutation as unrolled slices: an index-array gather is a
+    # serialized kernel + fusion boundary on TPU even with constant
+    # indices, and eval_scene runs once per chain round
+    if tuple(scene.perm) == tuple(range(scene.n_prims)):
+        return ds
+    return jnp.concatenate(
+        [ds[..., p:p + 1] for p in scene.perm], axis=-1
+    )
 
 
 def scene_layer(ds: jnp.ndarray) -> jnp.ndarray:

@@ -58,6 +58,7 @@ from ..sources.sources import (
 )
 from ..tally import Tallies, zero_tallies
 from .fresnel import fresnel_coeff, reflect, refract
+from ..maths.onehot import onehot_take, onehot_take_col
 from .scatter import hg_logpdf_dg, sample_hg_cost, scatter_direction
 
 # uniform columns per megastep: a source-kind-dependent block followed by
@@ -278,7 +279,9 @@ def _take_col(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         for i in range(1, N):
             out = jnp.where(idx == i, a[:, i], out)
         return out
-    return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    # large N: dense one-hot sum -- a take_along_axis is a serialized
+    # row-gather kernel (~10 ns/row) and a fusion boundary on TPU
+    return onehot_take_col(a, idx)
 
 
 def _opt_lookup(tables, arr, layer, wavelength):
@@ -301,7 +304,8 @@ def _opt_lookup(tables, arr, layer, wavelength):
                     sel = sel.reshape(sel.shape + (1,) * (arr.ndim - 1))
                 out = jnp.where(sel, arr[i], out)
             return out
-        return arr[layer]
+        # many-prim scenes: dense one-hot matmul instead of a row gather
+        return onehot_take(arr, layer)
     # spectral: LINEAR interpolation between the two bracketing
     # wavelength rows (round 4, VERDICT r3 weak #7: floor-binning left
     # an O(dlambda) quantisation error unbounded; interpolation makes it
@@ -727,8 +731,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             )
             pmc_fn_l = pmc_fn_l + jnp.where(fres_ev, s_ch, 0.0)
 
-            hit_layer = layer_of_concat[jnp.clip(prim_l, 0,
-                                                 scene.n_prims - 1)]
+            hit_layer = onehot_take(layer_of_concat, prim_l)
             inv_srf = jnp.logical_and(srf, hit_layer == inv)
             costh = jnp.maximum(jnp.abs(jnp.sum(dirc * nvec, axis=-1)),
                                 1e-3)
@@ -1230,9 +1233,9 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         for i in range(1, scene.n_prims):
             taps = jnp.where((nidx == i)[:, None], ev5[:, 1:5, i], taps)
     else:
-        taps = jnp.take_along_axis(
-            ev5[:, 1:5, :], nidx[:, None, None], axis=2
-        )[..., 0]  # [B, 4]
+        # dense one-hot contraction (gathers serialize on TPU)
+        oh5 = (nidx[:, None] == jnp.arange(scene.n_prims)).astype(dtype)
+        taps = jnp.einsum("bkn,bn->bk", ev5[:, 1:5, :], oh5)  # [B, 4]
     nvec = sum(taps[:, k:k + 1] * tet[k] for k in range(4))  # [B, 3]
     # +1e-30: finite reverse-mode gradient at the zero vector (a plain
     # norm's vjp is 0*inf = NaN there, poisoning jax.grad of the step)

@@ -313,7 +313,10 @@ def test_chained_march_modifier_scene_matches_plain():
     ])
     grid = cart_grid(40, 40, 40, 1.0, 1.0, 1.0)
     src = build_source("point", position=[0.5, 0.0, 0.0])
-    n = 2500
+    # 6000 photons: at 2500 the 7% gate is ~2 sigma of the
+    # chained-vs-plain sampling noise and flakes on benign compile-level
+    # rounding changes (measured: 1.1% systematic at 20k photons)
+    n = 6000
     t0, _, n0, s0 = simulate(
         scene, src, grid, jax.random.key(4),
         TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8),
@@ -342,7 +345,10 @@ def test_chained_smooth_union_model_matches_plain():
     ])
     grid = cart_grid(40, 40, 40, 1.0, 1.0, 1.0)
     src = build_source("point", position=[0.0, 0.0, 0.0])
-    n = 2500
+    # 6000 photons: at 2500 the 7% gate is ~2 sigma of the
+    # chained-vs-plain sampling noise and flakes on benign compile-level
+    # rounding changes (measured: 1.1% systematic at 20k photons)
+    n = 6000
     t0, _, n0, s0 = simulate(
         scene, src, grid, jax.random.key(6),
         TransportConfig(nphotons=n, n_lanes=512, dda_substeps=8),
