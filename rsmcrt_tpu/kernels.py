@@ -90,12 +90,22 @@ def setup(input_file: str | Path, kernel: str = "default",
     return parsed, scene
 
 
+def _console_pbar(launched, n_target, width=30):
+    """One-line console progress (reference: the external `pbar` utility
+    driven from the photon loop, kernelsMod.f90:1856-1862)."""
+    frac = min(launched / max(n_target, 1), 1.0)
+    fill = int(frac * width)
+    bar = "#" * fill + "-" * (width - fill)
+    print(f"\r[{bar}] {launched}/{n_target} photons", end="",
+          flush=True)
+
+
 def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
              n_lanes=None, survival_bias=False, seed=None,
              record_moments=False, max_scatter_order=0,
              max_steps=2_000_000, input_file=None,
              history=False, record_fluence=True,
-             record_phasor=None) -> SimResult:
+             record_phasor=None, progress_bar=False) -> SimResult:
     """Forward simulation (reference: run_MCRT, kernelsMod.f90:1790-1898),
     including the live tev viewer (:1874-1887) and periodic checkpointing
     (:1863) via the chunked-progress callback."""
@@ -136,6 +146,8 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
     ckpt_state = {"next": st.ckptfreq}
 
     def progress(launched, n_target, step, carry):
+        if progress_bar:
+            _console_pbar(launched, n_target)
         if tev is not None and tev.connected:
             from .io.tev import tev_slices
 
@@ -148,7 +160,8 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
                 np.asarray(as_volume(st.grid, carry.tallies.jmean)),
             )
 
-    want_progress = tev is not None or input_file is not None
+    want_progress = (tev is not None or input_file is not None
+                     or progress_bar)
     t0 = time.perf_counter()
     tallies, bank, launched, steps = simulate(
         scene, parsed.source, st.grid, key, cfg, bank=parsed.detectors,
@@ -156,6 +169,9 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
     )
     jax.block_until_ready(tallies.jmean)
     elapsed = time.perf_counter() - t0
+    if progress_bar:
+        _console_pbar(int(launched), nphotons)
+        print()
     if tev is not None:
         tev.close()
     if track_history and tallies.track_dropped is not None:
@@ -297,7 +313,8 @@ def default_MCRT(input_file: str | Path, data_dir="data", nphotons=None,
 
     result = run_MCRT(parsed, scene, nphotons=nphotons, n_lanes=n_lanes,
                       survival_bias=survival_bias,
-                      input_file=input_file if st.ckptfreq > 0 else None)
+                      input_file=input_file if st.ckptfreq > 0 else None,
+                      progress_bar=verbose)
 
     if resume_jmean is not None:
         import dataclasses

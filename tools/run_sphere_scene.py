@@ -41,14 +41,20 @@ def main(counts=(1, 5, 10, 25, 50), nphotons=100_000, cpu=False,
                                 "musb": 0.0, "muab": 0.01,
                                 "musc": 0.0, "muac": 0.01, "hgga": 0.7})
         )
-        cfg = TransportConfig(nphotons=n, n_lanes=B, dda_substeps=16,
-                              roulette_bounces=roulette)
-        warmup(prims, src, grid, jax.random.key(0), cfg, chunk_steps=96,
+        # PRODUCT fast path (round 5): the chained walk consumes the
+        # refractive spheres' TIR bounces inline (K boundary events per
+        # lane per megastep); the old plain K=16 walk needed ~20
+        # megasteps per near-transparent segment and ONE megastep per
+        # bounce -- 2.4k ph/s at N=50 vs 28.8k chained (12x, rr off)
+        cfg = TransportConfig(nphotons=n, n_lanes=B, dda_substeps=64,
+                              roulette_bounces=roulette,
+                              chain_scatter=True)
+        warmup(prims, src, grid, jax.random.key(0), cfg, chunk_steps=24,
                min_lanes=256)
         t0 = time.perf_counter()
         tallies, _, launched, _ = simulate(prims, src, grid,
                                            jax.random.key(1), cfg,
-                                           chunk_steps=96, min_lanes=256)
+                                           chunk_steps=24, min_lanes=256)
         jax.block_until_ready(tallies.jmean)
         dt = time.perf_counter() - t0
         pps = int(launched) / dt
