@@ -177,6 +177,13 @@ class TransportConfig:
     # reference's dead AdaLIPO explore/exploit loop
     # (kernelsMod.f90:1663-1738) with a differentiable estimator.
     inverse_prim: int = 0
+    # in-chain respawn candidates per lane per megastep (chained walk).
+    # 1 = round-3/4 behaviour.  In the fluenceless regime a photon's
+    # whole life is ~20 chain rounds, so at K=64 a lane can host ~3
+    # photons -- with one candidate the slot utilisation capped at ~1.6
+    # photons/lane/megastep (measured r5).  Each candidate needs its own
+    # analog absorption record slot (slots = chain_respawns + 1).
+    chain_respawns: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -522,19 +529,19 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
 
     died = jnp.zeros((B,), bool)
     # analog absorption record slots: with in-chain respawn a lane can
-    # carry more than one photon per megastep, and each analog photon
-    # absorbs at most once -- two single-slot records cover every case
-    # because respawn is blocked once both slots are used (unbiased by
-    # construction, not by rarity)
-    absorb_w0 = jnp.zeros((B,), dtype)
-    absorb_flat0 = jnp.zeros((B,), jnp.int32)
-    absorb_w1 = jnp.zeros((B,), dtype)
-    absorb_flat1 = jnp.zeros((B,), jnp.int32)
+    # carry chain_respawns+1 photons per megastep, and each analog
+    # photon absorbs at most once -- one single-slot record per hosted
+    # photon covers every case because respawn is blocked once all
+    # slots are used (unbiased by construction, not by rarity)
+    n_slots = cfg.chain_respawns + 1
+    absorb_ws = [jnp.zeros((B,), dtype) for _ in range(n_slots)]
+    absorb_fls = [jnp.zeros((B,), jnp.int32) for _ in range(n_slots)]
     n_ab = jnp.zeros((B,), jnp.int32)
     n_scat = jnp.zeros((), jnp.int32)
     n_inter = jnp.zeros((), jnp.int32)
     n_resp = jnp.zeros((), jnp.int32)
-    cand_used = jnp.zeros((B,), bool)
+    # candidates consumed so far this megastep (launch-and-count)
+    cand_k = jnp.zeros((B,), jnp.int32)
     steps_l = steps
     tau_l = tau
     flats, vals = [], []
@@ -636,12 +643,10 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             do_sc = jnp.logical_and(inter, u_r[:, 0] < albedo_l)
             do_ab = jnp.logical_and(inter, jnp.logical_not(do_sc))
             ab_ok = jnp.logical_and(do_ab, valid)
-            slot0 = jnp.logical_and(ab_ok, n_ab == 0)
-            slot1 = jnp.logical_and(ab_ok, n_ab == 1)
-            absorb_w0 = jnp.where(slot0, w_l, absorb_w0)
-            absorb_flat0 = jnp.where(slot0, flat, absorb_flat0)
-            absorb_w1 = jnp.where(slot1, w_l, absorb_w1)
-            absorb_flat1 = jnp.where(slot1, flat, absorb_flat1)
+            for s in range(n_slots):
+                m = jnp.logical_and(ab_ok, n_ab == s)
+                absorb_ws[s] = jnp.where(m, w_l, absorb_ws[s])
+                absorb_fls[s] = jnp.where(m, flat, absorb_fls[s])
             n_ab = n_ab + ab_ok.astype(jnp.int32)
             died = jnp.logical_or(died, do_ab)
         else:
@@ -809,8 +814,29 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         # exactly like a scatter or Fresnel continuation.
         resp = jnp.zeros((B,), bool)
         if respawn is not None:
-            (r_pos, r_dir, r_tau, r_layer, r_phase, r_wl, r_good,
-             r_allow) = respawn
+            # candidate tables are [C, B, ...]; each lane consumes them
+            # sequentially (cand_k), so the per-lane row is a C-way
+            # select chain (C is small and static)
+            (rc_pos, rc_dir, rc_tau, rc_layer, rc_phase, rc_wl,
+             rc_good, rc_allow) = respawn
+            C = rc_good.shape[0]
+
+            def pick(table):
+                out = table[0]
+                for k in range(1, C):
+                    sel = cand_k == k
+                    s = (sel[:, None] if table.ndim == 3 else sel)
+                    out = jnp.where(s, table[k], out)
+                return out
+
+            r_pos, r_dir, r_tau = pick(rc_pos), pick(rc_dir), pick(rc_tau)
+            r_layer, r_phase, r_wl = (pick(rc_layer), pick(rc_phase),
+                                      pick(rc_wl))
+            r_good = pick(rc_good)
+            # budget allowance of the candidate this lane would consume
+            # (rc_allow[k]: even all-B consumption of candidates 0..k
+            # stays within the photon budget)
+            r_allow = pick(rc_allow)
             # launch-and-count: a candidate sampled outside the medium or
             # grid is consumed AND charged to the budget (killed on
             # arrival), exactly like the analysis-phase respawn -- one
@@ -818,12 +844,12 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             # path launched each photon
             resp_try = jnp.logical_and(
                 jnp.logical_and(died, r_allow),
-                jnp.logical_not(cand_used),
+                cand_k < C,
             )
             if not cfg.survival_bias:
-                resp_try = jnp.logical_and(resp_try, n_ab < 2)
+                resp_try = jnp.logical_and(resp_try, n_ab < n_slots)
             resp = jnp.logical_and(resp_try, r_good)
-            cand_used = jnp.logical_or(cand_used, resp_try)
+            cand_k = cand_k + resp_try.astype(jnp.int32)
             died = jnp.logical_and(died, jnp.logical_not(resp))
             n_resp = n_resp + jnp.sum(resp_try, dtype=jnp.int32)
             rm = resp[:, None]
@@ -1017,8 +1043,8 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
         absorb_w = jnp.stack(ab_vals, axis=-1)  # [B, K]
         absorb_flat = jnp.stack(ab_flats, axis=-1)
     else:
-        absorb_w = jnp.stack([absorb_w0, absorb_w1], axis=-1)  # [B, 2]
-        absorb_flat = jnp.stack([absorb_flat0, absorb_flat1], axis=-1)
+        absorb_w = jnp.stack(absorb_ws, axis=-1)  # [B, n_slots]
+        absorb_flat = jnp.stack(absorb_fls, axis=-1)
     bank_out = bank
     if bank is not None and dect_acc:
         acc = {
@@ -1033,7 +1059,7 @@ def _chained_dda(scene, grid, cfg: TransportConfig, key, pos, direction,
             absorb_flat, n_scat, n_inter, mom_pos, mom_pos2, bank_out,
             hit_acc, (pmc_cnt_l, pmc_len_l, pmc_hg_l, pmc_fn_l,
                       pmc_bn_l, pmc_dd_l, pmc_stats_add),
-            cand_used)
+            cand_k)
 
 
 def transport_step(carry: SimCarry, scene: Scene, source: Source,
@@ -1558,14 +1584,17 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         r_flat = r_vok = None
         if (cfg.chain_respawn and not cfg.qmc_source
                 and cfg.escape_shape[0] == 0):
-            # per-megastep source candidate for in-chain respawn: an
-            # ordinary source sample from an independent uniform block
-            # (one candidate per lane per megastep; unused candidates
-            # are plain discarded draws).  Disabled within one wavefront
-            # of the photon budget so the launch count stays exact.
+            # per-megastep source candidates for in-chain respawn
+            # ([C, B, ...] with C = chain_respawns): ordinary source
+            # samples from an independent uniform block; unused
+            # candidates are plain discarded draws.  Candidate k is
+            # budget-allowed only when even all-B consumption of
+            # candidates 0..k stays within the photon budget, so the
+            # launch count stays exact.
+            C = cfg.chain_respawns
             rkey = jax.random.fold_in(skey, 0xC4AD)
             u_rsp = jax.random.uniform(
-                rkey, (B, n_src_u + 1), dtype=dtype,
+                rkey, (C * B, n_src_u + 1), dtype=dtype,
                 minval=1e-12, maxval=1.0,
             )
             r_pos, r_dir, r_phase, r_wl = sample_source(
@@ -1588,15 +1617,27 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
                 scene_layer(r_ds),
             )
             r_flat, r_vok = voxel_flat_index(grid, get_voxel(grid, r_pos))
-            allow = (launched + B) <= jnp.asarray(nphotons, jnp.int32)
             r_good = jnp.logical_and(r_layer > 0, r_vok)
-            respawn_cand = (r_pos, r_dir, r_tau, r_layer, r_phase,
-                            r_wl, r_good, allow)
+            allow = jnp.stack([
+                jnp.broadcast_to(
+                    (launched + (k + 1) * B)
+                    <= jnp.asarray(nphotons, jnp.int32), (B,))
+                for k in range(C)
+            ])  # [C, B]
+
+            def cb(a, extra=()):
+                return a.reshape((C, B) + a.shape[1:])
+
+            respawn_cand = (cb(r_pos), cb(r_dir), cb(r_tau),
+                            cb(r_layer), cb(r_phase), cb(r_wl),
+                            cb(r_good), allow)
+            r_flat = cb(r_flat)
+            r_vok = cb(r_vok)
         (pos, direction, weight, tau, seg_rem, seg_interact, seg_srf,
          seg_cont, seg_prim, layer, alive, steps, bounces, wavelength,
          phase, n_resp_c, flat_k, deps_k, ab_w_c, ab_flat_c, nsc_c,
          nint_c, mom_pos, mom_pos2, bank, hit_acc_c, pmc_out,
-         cand_used_c) = _chained_dda(
+         cand_k_c) = _chained_dda(
             scene, grid, cfg, skey, pos, direction, weight, tau,
             seg_rem, seg_interact, seg_srf, seg_cont, seg_prim, layer,
             alive, steps, bounces, wavelength, phase, tables, land_eps,
@@ -1607,9 +1648,13 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         if cfg.record_emission and respawn_cand is not None:
             # launch voxels of consumed in-chain candidates (parity with
             # the analysis-phase emission record above: voxel-valid
-            # launches only, kernelsMod.f90:2184-2200)
-            emission = emission.at[r_flat].add(
-                jnp.where(jnp.logical_and(cand_used_c, r_vok), 1.0, 0.0)
+            # launches only, kernelsMod.f90:2184-2200); candidate k was
+            # consumed by a lane iff its final cand_k exceeds k
+            consumed = cand_k_c[None, :] > jnp.arange(
+                r_flat.shape[0])[:, None]  # [C, B]
+            emission = emission.at[r_flat.reshape(-1)].add(
+                jnp.where(jnp.logical_and(consumed, r_vok),
+                          1.0, 0.0).reshape(-1)
             )
         if cfg.escape_shape[0] > 0:
             # flush the per-lane hit accumulator into the sid-attributed
@@ -1752,16 +1797,19 @@ def transport_step(carry: SimCarry, scene: Scene, source: Source,
         ab_w_ph3 = jnp.where(jnp.logical_and(do_absorb, vox_now_valid),
                              weight, 0.0)
         if chaining:
-            # the chain's second absorb slot and the phase-3 leftover are
-            # mutually exclusive per lane (a lane with both slots used
-            # died on its second photon and cannot be alive here), so
-            # they share a scatter column
-            flat2 = jnp.where(ab_w_c[:, 1] > 0.0, ab_flat_c[:, 1],
-                              vox_now)
+            # the chain's LAST absorb slot and the phase-3 leftover are
+            # mutually exclusive per lane (a lane with every slot used
+            # died on its last hosted photon and cannot be alive here),
+            # so they share a scatter column
+            S = ab_w_c.shape[1]
+            flat_last = jnp.where(ab_w_c[:, S - 1] > 0.0,
+                                  ab_flat_c[:, S - 1], vox_now)
             absorb = absorb.at[
-                jnp.stack([ab_flat_c[:, 0], flat2], axis=-1)
-            ].add(jnp.stack([ab_w_c[:, 0], ab_w_c[:, 1] + ab_w_ph3],
-                            axis=-1))
+                jnp.concatenate(
+                    [ab_flat_c[:, :S - 1], flat_last[:, None]], axis=-1)
+            ].add(jnp.concatenate(
+                [ab_w_c[:, :S - 1],
+                 (ab_w_c[:, S - 1] + ab_w_ph3)[:, None]], axis=-1))
         else:
             absorb = absorb.at[vox_now].add(ab_w_ph3)
         died_interact = do_absorb
