@@ -126,7 +126,9 @@ def run_fluenceless(nphotons=None):
     voxel deposits -> the scatter wall does not exist; each chained
     round consumes a whole segment event.  Sphere scene + the bench
     circle detector; K=64 measured fastest (tools/profile_fluenceless.py:
-    1.6M @ K=32, 4.0M @ K=64, 2.1M @ K=128 on v5e)."""
+    1.6M @ K=32, 4.0M @ K=64, 2.1M @ K=128 on v5e), and 3 in-chain
+    respawn candidates let each lane host several photons per megastep
+    (C=1 4.0M / C=2 4.3M / C=3 8.1M ph/s, v5e)."""
     from rsmcrt_tpu.transport.engine import (
         TransportConfig, simulate, warmup,
     )
@@ -142,7 +144,8 @@ def run_fluenceless(nphotons=None):
     chunk = 48
     cfg = TransportConfig(nphotons=n, n_lanes=lanes,
                           record_fluence=False, record_emission=False,
-                          chain_scatter=True, dda_substeps=64)
+                          chain_scatter=True, dda_substeps=64,
+                          chain_respawns=3 if on_tpu else 1)
     warmup(scene, src, grid, jax.random.key(0), cfg, bank=bank,
            chunk_steps=chunk, min_lanes=64)
     t0 = time.perf_counter()

@@ -43,7 +43,7 @@ def default_lanes(nphotons: int) -> int:
     return max(lanes, 256)
 
 
-def fast_path_defaults() -> dict:
+def fast_path_defaults(fluence: bool = True) -> dict:
     """Backend-tuned fast-path transport knobs shared by the product
     kernels AND bench.py, so the default user path IS the benchmarked
     path (the reference runs one hot loop for everyone,
@@ -55,6 +55,13 @@ def fast_path_defaults() -> dict:
         # K=64 amortises the fixed megastep cost on TPU (chained slot
         # utilisation stays ~1.0); small K keeps CPU compiles fast
         "dda_substeps": 64 if on_tpu else 8,
+        # fluenceless (detector-workload) runs: a photon's whole life is
+        # ~20 chain rounds, so a K=64 lane can host several photons per
+        # megastep -- multi-candidate in-chain respawn doubles the rate
+        # (4.0M -> 8.1M ph/s on v5e, tools/profile_fluenceless.py).
+        # With the fluence map on, a photon spans several megasteps and
+        # one candidate is enough.
+        "chain_respawns": 1 if (fluence or not on_tpu) else 3,
     }
 
 
@@ -130,7 +137,7 @@ def run_MCRT(parsed: ParsedConfig, scene: Scene, nphotons=None,
         max_tracks=4096 if track_history else 0,
         roulette_bounces=st.roulette_bounces,
         roulette_chance=st.roulette_chance,
-        **fast_path_defaults(),
+        **fast_path_defaults(fluence=record_fluence),
     )
     key = jax.random.key(seed if seed is not None else st.iseed)
 
